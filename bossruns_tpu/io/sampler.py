@@ -1,0 +1,186 @@
+"""Simulation sampler: random no-replacement read batches from big files.
+
+Mirrors the reference's mmap streaming design (/root/reference/boss/sampler.py):
+byte offsets of every fastq record are scanned once and cached next to the
+file (.offsets.npy), reshaped into (maxbatch, batchsize) rows, optionally
+shuffled with a seed; each batch mmap-reads its records with MADV_WILLNEED
+prefetch. PAF mappings of the sampled reads are retrieved through per-read
+byte-offset indexes cached as .offsets.npz (the reference pickles a
+defaultdict, sampler.py:400-404; we store parallel arrays instead).
+"""
+from __future__ import annotations
+
+import logging
+import mmap
+from pathlib import Path
+
+import numpy as np
+
+from .fastq import parse_barcode
+
+logger = logging.getLogger("boss_tpu")
+
+
+def scan_fastq_offsets(path: str | Path) -> np.ndarray:
+    """Byte offset of every 4-line fastq record (cached as .offsets.npy)."""
+    cache = Path(f"{path}.offsets.npy")
+    if cache.exists():
+        return np.load(cache)
+    offsets = [0]
+    with open(path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        k = 0
+        for _ in iter(mm.readline, b""):
+            k += 1
+            if k % 4 == 0:
+                offsets.append(mm.tell())
+        mm.close()
+    arr = np.asarray(offsets[:-1] if k % 4 == 0 else offsets, dtype=np.uint64)
+    np.save(cache, arr)
+    logger.info(f"scanned {arr.shape[0]} fastq record offsets for {path}")
+    return arr
+
+
+class FastqStream:
+    """Batch sampler over a fastq file; no read is sampled twice."""
+
+    def __init__(
+        self,
+        source: str,
+        batchsize: int = 1,
+        maxbatch: int = 1,
+        seed: int = 1,
+        shuffle: bool = False,
+    ):
+        self.source = source
+        offsets = scan_fastq_offsets(source)
+        if seed == 0:
+            seed = np.random.randint(1_000_000)
+        if shuffle:
+            rng = np.random.default_rng(seed)
+            offsets = offsets.copy()
+            rng.shuffle(offsets)
+        n_needed = batchsize * (maxbatch + 1)
+        if n_needed > offsets.shape[0]:
+            raise ValueError(
+                f"requested {n_needed} reads but {source} has {offsets.shape[0]}"
+            )
+        self.offsets = offsets[:n_needed].reshape(maxbatch + 1, batchsize)
+        self.batch = 0
+        # per-batch outputs
+        self.read_sequences: dict[str, str] = {}
+        self.read_qualities: dict[str, str] = {}
+        self.read_barcodes: dict[str, int] = {}
+        self.read_lengths: dict[str, int] = {}
+        self.read_ids: set = set()
+        self.total_bases = 0
+
+    def read_batch(self) -> None:
+        if self.offsets.shape[0] == 0:
+            raise ValueError("No more reads left to sample")
+        batch_offsets = np.sort(self.offsets[0])
+        self.offsets = self.offsets[1:]
+        seqs, quals, bcs = {}, {}, {}
+        with open(self.source, "rb") as f:
+            mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+            pagesize = 4096
+            for off in batch_offsets:
+                try:
+                    mm.madvise(mmap.MADV_RANDOM)
+                    mm.madvise(mmap.MADV_WILLNEED, int(off) - int(off) % pagesize, 20)
+                except (AttributeError, OSError):
+                    pass
+            for off in batch_offsets:
+                mm.seek(int(off))
+                header = mm.readline().decode()
+                seq = mm.readline().decode().rstrip("\n")
+                mm.readline()
+                qual = mm.readline().decode().rstrip("\n")
+                name = header[1:].split(" ", 1)[0].strip()
+                seqs[name] = seq
+                quals[name] = qual
+                bcs[name] = parse_barcode(header)
+            mm.close()
+        self.read_sequences = seqs
+        self.read_qualities = quals
+        self.read_barcodes = bcs
+        self.read_lengths = {r: len(s) for r, s in seqs.items()}
+        self.read_ids = set(seqs)
+        self.total_bases = int(sum(self.read_lengths.values()))
+        self.batch += 1
+        logger.info(f"sampled batch of {len(seqs)} reads")
+
+
+def scan_paf_offsets(path: str | Path) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-line (qname, offset, length) index of a PAF file, cached as npz."""
+    cache = Path(f"{path}.offsets.npz")
+    if cache.exists():
+        with np.load(cache, allow_pickle=True) as z:
+            return z["names"], z["offsets"], z["lengths"]
+    names, offs, lens = [], [], []
+    pos = 0
+    with open(path, "rb") as f:
+        for line in f:
+            names.append(line.split(b"\t", 1)[0].decode())
+            offs.append(pos)
+            lens.append(len(line))
+            pos += len(line)
+    names = np.asarray(names, dtype=object)
+    offs = np.asarray(offs, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    np.savez(cache, names=names, offsets=offs, lengths=lens)
+    return names, offs, lens
+
+
+class PafStream:
+    """Fetch the PAF lines of a set of read ids from full/truncated files."""
+
+    def __init__(self, paf_full: str, paf_trunc: str):
+        self.paf_full = paf_full
+        self.paf_trunc = paf_trunc
+        self.idx_full = self._build(paf_full)
+        self.idx_trunc = self._build(paf_trunc)
+
+    @staticmethod
+    def _build(path: str) -> dict[str, list[tuple[int, int]]]:
+        names, offs, lens = scan_paf_offsets(path)
+        idx: dict[str, list[tuple[int, int]]] = {}
+        for n, o, ln in zip(names, offs, lens):
+            idx.setdefault(n, []).append((int(o), int(ln)))
+        return idx
+
+    @staticmethod
+    def _grab(path: str, entries: list[tuple[int, int]]) -> str:
+        chunks = []
+        with open(path, "rb") as f:
+            for off, ln in entries:
+                f.seek(off)
+                chunks.append(f.read(ln))
+        return b"".join(chunks).decode()
+
+    def grab_mappings(self, read_ids: set) -> tuple[str, str]:
+        ef = [e for r in read_ids for e in self.idx_full.get(r, [])]
+        et = [e for r in read_ids for e in self.idx_trunc.get(r, [])]
+        return self._grab(self.paf_full, sorted(ef)), self._grab(self.paf_trunc, sorted(et))
+
+
+class Sampler:
+    """fastq + optional paf sampling facade (boss/sampler.py:20-56)."""
+
+    def __init__(self, source: str, paf_full: str | None = None, paf_trunc: str | None = None, **kw):
+        self.fq_stream = FastqStream(source, **kw)
+        self.paf_stream = PafStream(paf_full, paf_trunc) if paf_full and paf_trunc else None
+
+    def sample(self):
+        self.fq_stream.read_batch()
+        if self.paf_stream:
+            paf_f, paf_t = self.paf_stream.grab_mappings(self.fq_stream.read_ids)
+        else:
+            paf_f, paf_t = "", ""
+        return (
+            self.fq_stream.read_sequences,
+            self.fq_stream.read_qualities,
+            self.fq_stream.read_barcodes,
+            paf_f,
+            paf_t,
+        )

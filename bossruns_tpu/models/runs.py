@@ -1,0 +1,272 @@
+"""BOSS-RUNS update engine: one jitted state transition per read batch.
+
+The reference spreads each update over per-contig Python loops
+(/root/reference/boss/runs/core.py:202-224 + update_wrapper :160-198). Here the
+whole per-batch pipeline is a single pure function
+
+    (GenomeState, ReadBatch, StepParams) -> (GenomeState, StepAux)
+
+over dense, padded, genome-axis arrays (see models/layout.py), jitted once and
+re-used for every batch; window sizes and the time cost arrive as traced
+scalars so the read-length distribution never forces recompilation. The same
+function runs single-chip or genome-sharded under a jax Mesh (parallel/).
+
+Pipeline per batch (reference call sites in parens):
+  1. coverage scatter-add + per-site change flags   (reference.py:122-144)
+  2. dense posterior/score recompute                (sequences.py:398-455)
+     - sites with total coverage >= 30 freeze to tiny  (sequences.py:419-430)
+     - dropout sites (cov <= contig_mean/8 once mean > 5) score 0
+       (reference.py:148-178); zeroing is sticky until the site changes,
+       matching the reference's changed-sites-only recompute.
+  3. bucket activation switches                     (reference.py:183-211)
+  4. read-start (fhat) posterior                    (readstartdist.py:43-117)
+  5. S_mu + CCL-weighted expected benefit           (reference.py:215-269)
+  6. global exponent-binned threshold -> strategy   (sequences.py:565-649)
+     gated per 20kb bucket                          (runs/core.py:125-155)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import genome_ops as gops
+from ..ops.model import ObservationModel, make_model
+from ..ops.scores import ScoreTables, site_scores
+from .layout import BUCKET, DS, GenomeLayout
+
+
+class GenomeState(NamedTuple):
+    coverage: jax.Array      # [NB, G_pad, 5] int32
+    zeroed: jax.Array        # [NB, G_pad] bool — sticky dropout zeros
+    bucket_on: jax.Array     # [NB, NBk_pad] bool — sticky activation switches
+    read_starts: jax.Array   # [Wf_pad, 2] f32 — accumulated start counts
+    strat: jax.Array         # [NB, Gd_pad, 2] bool — current strategy
+
+
+class ReadBatch(NamedTuple):
+    """Padded COO representation of one batch of mapped reads (host-built).
+
+    Padding entries carry weight 0 (and index 0) and are no-ops.
+    """
+
+    cov_pos: jax.Array   # [M] int32 global site index
+    cov_sym: jax.Array   # [M] int32 observed symbol 0..4 (4 = deletion)
+    cov_bc: jax.Array    # [M] int32 barcode index
+    cov_w: jax.Array     # [M] f32 addition weight (0/1 after qual threshold)
+    rs_row: jax.Array    # [R] int32 global fhat window row
+    rs_strand: jax.Array  # [R] int32 0=fwd 1=rev
+    rs_w: jax.Array      # [R] f32
+
+
+class StepParams(NamedTuple):
+    approx_ccl: jax.Array       # [10] int32 full-res CCL pieces
+    time_cost: jax.Array        # f32 scalar (lambda - mu - rho)
+    bucket_threshold: jax.Array  # f32 scalar
+
+
+class StepAux(NamedTuple):
+    any_on: jax.Array        # bool — any bucket switched on (strategy active)
+    updated: jax.Array       # bool — strategy was recomputed this step
+    threshold: jax.Array     # f32 — accept threshold (benefit units)
+    mean_coverage: jax.Array  # f32 — mean site coverage over real sites
+
+
+@dataclasses.dataclass(frozen=True)
+class RunsConfig:
+    mu: int = 400
+    freeze_cov: int = 30          # sequences.py:419
+    dropout_mod: int = 8          # reference.py:166
+    dropout_min_mean: float = 5.0  # reference.py:158
+    bucket_threshold: float = 5.0  # config.py:51
+    fhat_alpha: float = 1.0
+    fhat_p0: float = 0.1
+    on_target: float = 1.0
+    dtype: str = "float32"
+
+
+class RunsEngine:
+    """Builds device constants for a layout and exposes the jitted step."""
+
+    def __init__(
+        self,
+        layout: GenomeLayout,
+        model: ObservationModel | None = None,
+        config: RunsConfig = RunsConfig(),
+    ):
+        self.layout = layout
+        self.config = config
+        self.model = model if model is not None else make_model(ploidy=1)
+        self.dtype = jnp.dtype(config.dtype)
+        self.tables = ScoreTables(self.model, self.dtype)
+        self.tiny = float(np.finfo(self.dtype).tiny)
+
+        lay = layout
+        self.nb = lay.n_barcodes
+        # device constants
+        self.c_seq = jnp.asarray(lay.seq_int, jnp.int32)
+        self.c_site_valid = jnp.asarray(lay.site_valid())
+        self.c_contig_id_ds = jnp.asarray(np.where(lay.contig_id_ds < 0, lay.n_contigs, lay.contig_id_ds), jnp.int32)
+        self.c_seg_start = jnp.asarray(lay.ds_seg_start, jnp.int32)
+        self.c_seg_end = jnp.asarray(lay.ds_seg_end, jnp.int32)
+        self.c_strat_valid = jnp.asarray(lay.strat_row_valid)
+        self.c_fhat_idx = jnp.asarray(lay.fhat_idx, jnp.int32)
+        self.c_bucket_idx = jnp.asarray(lay.bucket_idx, jnp.int32)
+        self.c_bucket_lo = jnp.asarray(lay.bucket_lo_ds, jnp.int32)
+        self.c_bucket_valid = jnp.asarray(np.arange(lay.NBk_pad) < lay.n_buckets)
+        self.c_fhat_valid = jnp.asarray(np.arange(lay.Wf_pad) < lay.n_fhat)
+        # per-contig site counts (incl. a trailing pseudo-contig for padding)
+        denom = np.append(lay.lengths * lay.n_barcodes, 1).astype(np.float64)
+        self.c_contig_denom = jnp.asarray(denom, self.dtype)
+        self.n_real_sites = float(lay.lengths.sum())
+        self.step = jax.jit(self._step, donate_argnums=(0,))
+
+    # ------------------------------------------------------------- state ----
+
+    def init_state(self) -> GenomeState:
+        lay = self.layout
+        strat0 = jnp.broadcast_to(
+            self.c_strat_valid[None, :, None], (self.nb, lay.Gd_pad, 2)
+        )
+        return GenomeState(
+            coverage=jnp.zeros((self.nb, lay.G_pad, 5), jnp.int32),
+            zeroed=jnp.zeros((self.nb, lay.G_pad), bool),
+            bucket_on=jnp.zeros((self.nb, lay.NBk_pad), bool),
+            read_starts=jnp.zeros((lay.Wf_pad, 2), self.dtype),
+            strat=strat0,
+        )
+
+    # -------------------------------------------------------------- step ----
+
+    def _step(self, state: GenomeState, batch: ReadBatch, params: StepParams):
+        cfg = self.config
+        dtype = self.dtype
+        nb, G = state.coverage.shape[0], state.coverage.shape[1]
+        Gd = G // DS
+
+        # -- 1. coverage increments ------------------------------------------
+        w = batch.cov_w.astype(dtype)
+        if self.model.len_b == 4:
+            # deletion observations are ignored entirely in the 4-symbol model
+            # (sequences.py:417-418 zeroes the deletion column)
+            w = jnp.where(batch.cov_sym == 4, 0.0, w)
+        inc = jnp.zeros((nb, G, 5), jnp.int32)
+        inc = gops.scatter_add_3d(inc, batch.cov_bc, batch.cov_pos, batch.cov_sym, w)
+        coverage = state.coverage + inc
+        # change flag per site: any barcode/symbol touched (reference.py:142
+        # flags whole rows of the change mask)
+        changed_site = jnp.any(inc != 0, axis=(0, 2))  # [G]
+
+        covsum = jnp.sum(coverage, axis=2)  # [NB, G] int32
+        covsum_f = covsum.astype(dtype)
+
+        # -- 2. scores -------------------------------------------------------
+        fresh, _entropy = site_scores(coverage, self.c_seq, self.tables)  # [NB, G]
+        maxed = covsum >= cfg.freeze_cov
+        scores = jnp.where(self.c_site_valid[None, :], fresh, 0.0)
+        scores = jnp.where(maxed, self.tiny, scores)
+
+        # dropout: per-contig mean coverage over sites and barcodes
+        covsum_ds = jnp.sum(covsum_f.reshape(nb, Gd, DS), axis=2)  # [NB, Gd]
+        per_contig = jnp.zeros(self.layout.n_contigs + 1, dtype).at[self.c_contig_id_ds].add(
+            jnp.sum(covsum_ds, axis=0)
+        )
+        contig_mean = per_contig / self.c_contig_denom  # [C+1]
+        thr = jnp.floor(contig_mean / cfg.dropout_mod)
+        active = contig_mean > cfg.dropout_min_mean
+        site_cid = self.c_contig_id_ds[jnp.arange(G, dtype=jnp.int32) // DS]  # [G]
+        site_thr = thr[site_cid]
+        site_active = active[site_cid] & self.c_site_valid
+        drop_now = site_active[None, :] & jnp.any(covsum_f <= site_thr[None, :], axis=0)[None, :]
+        drop_now = jnp.broadcast_to(drop_now, (nb, G))
+
+        # sticky zeroing: a previously zeroed site stays zero until it changes
+        # while unfrozen (the reference only recomputes changed sites)
+        recomputed = changed_site[None, :] & ~maxed
+        hold_zero = state.zeroed & ~recomputed
+        scores = jnp.where(hold_zero | drop_now, 0.0, scores)
+        zeroed = drop_now | hold_zero
+
+        # -- 3. bucket switches ---------------------------------------------
+        cc = gops._csum(covsum_ds)  # [NB, Gd+1]
+        lo = self.c_bucket_lo
+        lo_safe = jnp.maximum(lo, 0)
+        wsum = jnp.take(cc, lo_safe + BUCKET // DS, axis=-1) - jnp.take(cc, lo_safe, axis=-1)
+        bucket_mean = jnp.where((lo >= 0)[None, :], wsum / BUCKET, 0.0)  # [NB, NBk]
+        bucket_on = state.bucket_on | (
+            (bucket_mean >= params.bucket_threshold) & self.c_bucket_valid[None, :]
+        )
+        any_on = jnp.any(bucket_on)
+
+        # -- 4. fhat ---------------------------------------------------------
+        read_starts = gops.scatter_add_2d(
+            state.read_starts, batch.rs_row, batch.rs_strand, batch.rs_w
+        )
+        fhat_w = gops.fhat_pointmass(
+            read_starts, self.c_fhat_valid, self.layout.n_fhat, cfg.fhat_alpha, cfg.fhat_p0
+        )  # [Wf, 2]
+        fidx = self.c_fhat_idx
+        fhat_exp = jnp.where(
+            (fidx >= 0)[:, None], jnp.take(fhat_w, jnp.maximum(fidx, 0), axis=0), 0.0
+        )  # [Gd, 2]
+        tot = jnp.sum(fhat_exp)
+        fhat_exp = fhat_exp * jnp.where(tot > 0, cfg.on_target / tot, 0.0)
+
+        # -- 5. benefit ------------------------------------------------------
+        scores_ds = jnp.sum(scores.reshape(nb, Gd, DS), axis=2)  # [NB, Gd]
+        smu, benefit = gops.expected_benefit(
+            scores_ds,
+            jnp.maximum(params.approx_ccl // DS, 1),
+            self.c_seg_start,
+            self.c_seg_end,
+            mu_ds=cfg.mu // DS,
+        )  # [NB, Gd, 2] each
+
+        # -- 6. threshold + gated strategy ------------------------------------
+        fhat_b = jnp.broadcast_to(fhat_exp[None], benefit.shape)
+        res = gops.find_strategy(benefit, smu, fhat_b, params.time_cost.astype(dtype))
+        bidx = self.c_bucket_idx
+        gate = jnp.take(bucket_on, jnp.maximum(bidx, 0), axis=1) & (bidx >= 0)[None, :]  # [NB, Gd]
+        do_update = any_on & res.any_nonzero
+        write = do_update & gate & self.c_strat_valid[None, :]
+        strat = jnp.where(write[:, :, None], res.strat, state.strat)
+
+        new_state = GenomeState(
+            coverage=coverage,
+            zeroed=zeroed,
+            bucket_on=bucket_on,
+            read_starts=read_starts,
+            strat=strat,
+        )
+        aux = StepAux(
+            any_on=any_on,
+            updated=do_update,
+            threshold=res.threshold,
+            mean_coverage=jnp.sum(covsum_f) / self.n_real_sites,
+        )
+        return new_state, aux
+
+    # ----------------------------------------------------------- host side --
+
+    def strat_dict(self, state: GenomeState) -> dict[str, np.ndarray]:
+        """Per-contig strategy arrays in the reference npz convention:
+        shape (length//100, 2, n_barcodes) bool; rejected contigs get a
+        single-False array (reference.py:109-118)."""
+        strat = np.asarray(state.strat)  # [NB, Gd, 2]
+        out = {}
+        for c, name in enumerate(self.layout.names):
+            r0, n = self.layout.strat_rows(c)
+            out[name] = np.ascontiguousarray(strat[:, r0 : r0 + n, :].transpose(1, 2, 0))
+        for name in self.layout.rejected_names:
+            out[name] = np.zeros(1, dtype=bool)
+        return out
+
+    def make_params(self, approx_ccl: np.ndarray, time_cost: float) -> StepParams:
+        return StepParams(
+            approx_ccl=jnp.asarray(approx_ccl, jnp.int32),
+            time_cost=jnp.asarray(time_cost, jnp.float32),
+            bucket_threshold=jnp.asarray(self.config.bucket_threshold, jnp.float32),
+        )

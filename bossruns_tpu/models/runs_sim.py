@@ -1,0 +1,286 @@
+"""BOSS-RUNS simulation mode: sampled batches + in-silico ReadUntil decisions.
+
+Replicates the reference simulation loop (/root/reference/boss/runs/simulation.py
++ boss/batch.py:123-281): reads and their precomputed full/truncated mappings
+are sampled from big files, each read's mu-sized mapping is looked up in the
+current strategy mask (accept -> full read/alignment, reject -> truncated to
+mu bases), pseudo-sequencing time advances for a BOSS and a control half of
+the flowcell, and cumulative read dumps are written at dump intervals. The
+posterior/benefit/strategy update itself runs on device (models/runs.py).
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from ..io import coo as coo_mod
+from ..io.fastq import read_fastx
+from ..io.paf import PafRecords, best_per_query, parse_paf
+from ..io.sampler import Sampler
+from ..utils.misc import make_output_dirs, random_id, write_strategy_npz
+from ..utils.readlen import ReadLengthDist
+from .layout import DS, GenomeLayout, build_layout
+from .runs import ReadBatch, RunsConfig, RunsEngine
+
+logger = logging.getLogger("boss_tpu")
+
+MU = 400
+ALPHA = 300
+RHO = 300
+
+
+class ReadCache:
+    """Pseudotime bookkeeping + cumulative read dumps (batch.py:123-281)."""
+
+    def __init__(self, batchsize: int, dumptime: int, out_base: str | Path = ".",
+                 alpha: int = ALPHA, rho: int = RHO, mu: int = MU):
+        self.alpha, self.rho, self.mu = alpha, rho, mu
+        self.batchsize = batchsize
+        self.dumptime = dumptime
+        self.time_boss = 0
+        self.time_control = 0
+        self.cache_control: dict[str, str] = {}
+        self.cache_boss: dict[str, str] = {}
+        self.dump_n_control = 1
+        self.dump_n_boss = 1
+        self.out = Path(out_base) / "00_reads"
+        self.out.mkdir(parents=True, exist_ok=True)
+        for cond in ("control", "boss"):
+            (self.out / f"{cond}_0.fa").write_text("")
+
+    def update_times(self, total_bases: int, decided_bases: int, n_reject: int) -> None:
+        self.time_control += total_bases + self.batchsize * self.alpha
+        self.time_boss += decided_bases + n_reject * self.rho + self.batchsize * self.alpha
+        logger.info(f"time control: {self.time_control}")
+        logger.info(f"time boss: {self.time_boss}")
+
+    def fill(self, read_sequences: dict[str, str], reads_decision: dict[str, str],
+             barcodes: dict[str, int] | None = None) -> None:
+        def key(rid):
+            if barcodes is None:
+                return rid
+            return f"{rid}.barcode=barcode{str(barcodes[rid]).zfill(2)}"
+
+        for rid, seq in read_sequences.items():
+            self.cache_control[key(rid)] = seq
+        for rid, seq in reads_decision.items():
+            self.cache_boss[key(rid)] = seq
+        for cond in ("control", "boss"):
+            if getattr(self, f"time_{cond}") > self.dumptime * getattr(self, f"dump_n_{cond}"):
+                self.dump(cond)
+
+    def dump(self, cond: str) -> None:
+        n = getattr(self, f"dump_n_{cond}")
+        cache = getattr(self, f"cache_{cond}")
+        logger.info(f"dump {cond} #{n}: {len(cache)} reads")
+        with open(self.out / f"{cond}_{n}.fa", "w") as fh:
+            for rid, seq in cache.items():
+                fh.write(f">{rid}.{random_id()}\n{seq}\n")
+        setattr(self, f"dump_n_{cond}", n + 1)
+        setattr(self, f"cache_{cond}", {})
+
+    def flush(self) -> None:
+        for cond in ("control", "boss"):
+            if getattr(self, f"cache_{cond}"):
+                self.dump(cond)
+
+
+@dataclass
+class SimOutcome:
+    n_mapped: int = 0
+    n_unmapped: int = 0
+    n_accepted: int = 0
+    n_rejected: int = 0
+    reads_decision: dict = field(default_factory=dict)
+    cov_rows: list = field(default_factory=list)     # (records, row) for coverage
+    acc_rows: list = field(default_factory=list)     # rows of accepted full recs
+    accepted_lengths: list = field(default_factory=list)
+
+
+def load_reference_contigs(fasta: str | Path) -> dict[str, str]:
+    return {name: seq for name, _c, seq, _q in read_fastx(fasta)}
+
+
+class BossRunsSim:
+    """Simulation experiment driver."""
+
+    def __init__(
+        self,
+        ref: str,
+        fq: str,
+        paf_full: str,
+        paf_trunc: str,
+        name: str = "boss",
+        batchsize: int = 4000,
+        maxb: int = 400,
+        dumptime: int = 200_000_000,
+        barcodes: list[str] | None = None,
+        reject_refs: str | None = None,
+        ploidy: int = 1,
+        accept_unmapped: bool = False,
+        out_base: str | Path = ".",
+        seed: int = 1,
+        config: RunsConfig | None = None,
+        min_contig_len: int = 100_000,
+    ):
+        self.name = name
+        self.out_dir = make_output_dirs(name, out_base)
+        self.mu = MU
+        self.accept_unmapped = accept_unmapped
+        self.batchsize = batchsize
+        self.maxb = maxb
+        # barcode index map (runs/core.py:31-35)
+        if not barcodes:
+            self.barcodes_index = {"": 0}
+        else:
+            self.barcodes_index = {int(b.split("barcode")[1]): i for i, b in enumerate(barcodes)}
+        nb = len(self.barcodes_index)
+
+        contigs = load_reference_contigs(ref)
+        rejects = set(reject_refs.split(",")) if reject_refs else set()
+        self.layout: GenomeLayout = build_layout(
+            contigs, n_barcodes=nb, reject_refs=rejects, min_len=min_contig_len
+        )
+        from ..ops.model import make_model
+
+        cfg = config or RunsConfig()
+        self.engine = RunsEngine(self.layout, make_model(ploidy=ploidy), cfg)
+        self.state = self.engine.init_state()
+        self.rl_dist = ReadLengthDist()
+        self.sampler = Sampler(
+            fq, paf_full, paf_trunc, batchsize=batchsize, maxbatch=maxb, seed=seed
+        )
+        self.read_cache = ReadCache(batchsize, dumptime, out_base=out_base)
+        self.batch = 0
+        # host copy of the strategy per contig for decision lookups
+        self.strat_host = self.engine.strat_dict(self.state)
+        write_strategy_npz(self.out_dir, self.strat_host)
+
+    # ------------------------------------------------------------ decisions --
+
+    def make_decisions(
+        self,
+        seqs: dict[str, str],
+        paf_full_txt: str,
+        paf_trunc_txt: str,
+        barcodes: dict[str, int],
+    ) -> tuple[PafRecords, SimOutcome]:
+        """In-silico ReadUntil (runs/simulation.py:37-120).
+
+        Returns the parsed records plus which rows feed coverage (accepted
+        reads contribute their full-length alignment, rejected reads their
+        mu-sized truncated alignment) and the decided read sequences.
+        """
+        full = parse_paf(paf_full_txt)
+        trunc = parse_paf(paf_trunc_txt)
+        best_full = best_per_query(full)
+        best_trunc = best_per_query(trunc)
+
+        out = SimOutcome()
+        out.reads_decision = dict(seqs)
+        mapped = set(best_trunc)
+        for rid, i in best_trunc.items():
+            rev = int(trunc.rev[i])
+            start_pos = int(trunc.tend[i]) - 1 if rev else int(trunc.tstart[i])
+            bc = barcodes.get(rid, 0)
+            try:
+                strat = self.strat_host[trunc.tname[i]]
+                decision = bool(strat[start_pos // DS, rev, bc])
+            except (KeyError, IndexError):
+                decision = False  # fail-closed like simulation.py:82-86
+            if decision and rid in best_full:
+                j = best_full[rid]
+                out.cov_rows.append(("full", j))
+                out.acc_rows.append(j)
+                out.accepted_lengths.append(int(full.qlen[j]))
+                out.n_accepted += 1
+            elif decision:
+                # accepted but no full-length mapping: nothing to add
+                out.n_accepted += 1
+            else:
+                out.cov_rows.append(("trunc", i))
+                out.reads_decision[rid] = seqs[rid][: self.mu]
+                out.n_rejected += 1
+        for rid, seq in seqs.items():
+            if rid in mapped:
+                continue
+            if self.accept_unmapped:
+                if rid in best_full:
+                    j = best_full[rid]
+                    out.cov_rows.append(("full", j))
+                    out.acc_rows.append(j)
+                    out.accepted_lengths.append(int(full.qlen[j]))
+                out.n_accepted += 1
+            else:
+                out.reads_decision[rid] = seq[: self.mu]
+                out.n_rejected += 1
+        out.n_mapped = len(mapped)
+        out.n_unmapped = len(seqs) - len(mapped)
+        return full, trunc, out
+
+    # ------------------------------------------------------------ batch ------
+
+    def process_batch(self) -> None:
+        seqs, quals, bc_names, paf_f, paf_t = self.sampler.sample()
+        read_bc = {rid: self.barcodes_index.get(bc, 0) for rid, bc in bc_names.items()}
+        full, trunc, outc = self.make_decisions(seqs, paf_f, paf_t, read_bc)
+        logger.info(f"mapped {outc.n_mapped}, unmapped {outc.n_unmapped}")
+        logger.info(f"accepted {outc.n_accepted}, rejected {outc.n_rejected}")
+
+        # read-length distribution from accepted full-length reads
+        self.rl_dist.update(np.array(outc.accepted_lengths, dtype=np.int64))
+
+        # decided sequences for coverage conversion: rejected reads truncated
+        decided_quals = {
+            rid: quals[rid][: len(seq)] for rid, seq in outc.reads_decision.items()
+        }
+        full_rows = [i for kind, i in outc.cov_rows if kind == "full"]
+        trunc_rows = [i for kind, i in outc.cov_rows if kind == "trunc"]
+        pos_f, sym_f, bcc_f, w_f = coo_mod.build_coverage_coo(
+            self.layout, full, full_rows, seqs, quals, read_bc
+        )
+        pos_t, sym_t, bcc_t, w_t = coo_mod.build_coverage_coo(
+            self.layout, trunc, trunc_rows, outc.reads_decision, decided_quals, read_bc
+        )
+        rs_row, rs_strand, rs_w = coo_mod.build_read_start_rows(
+            self.layout, full, outc.acc_rows
+        )
+        batch = ReadBatch(
+            cov_pos=np.concatenate([pos_f, pos_t]),
+            cov_sym=np.concatenate([sym_f, sym_t]),
+            cov_bc=np.concatenate([bcc_f, bcc_t]),
+            cov_w=np.concatenate([w_f, w_t]),
+            rs_row=rs_row,
+            rs_strand=rs_strand,
+            rs_w=rs_w,
+        )
+        params = self.engine.make_params(self.rl_dist.approx_ccl, self.rl_dist.time_cost)
+        self.state, aux = self.engine.step(self.state, batch, params)
+
+        if bool(aux.updated):
+            self.strat_host = self.engine.strat_dict(self.state)
+            write_strategy_npz(self.out_dir, self.strat_host)
+            logger.info(f"strategy updated, threshold {float(aux.threshold):.3g}")
+
+        # pseudotime + read dumps
+        decided_bases = sum(len(s) for s in outc.reads_decision.values())
+        self.read_cache.update_times(
+            total_bases=self.sampler.fq_stream.total_bases,
+            decided_bases=decided_bases,
+            n_reject=outc.n_rejected,
+        )
+        self.read_cache.fill(
+            seqs, outc.reads_decision, bc_names if len(self.barcodes_index) > 1 else None
+        )
+        self.batch += 1
+
+    def run(self, maxb: int | None = None) -> None:
+        for _ in range(maxb or self.maxb):
+            self.process_batch()
+        self.cleanup()
+
+    def cleanup(self) -> None:
+        self.read_cache.flush()

@@ -1,0 +1,185 @@
+"""Dense genome-axis device kernels: scatter, window sums, fhat, threshold.
+
+These replace the reference's per-contig numpy/bottleneck hot loops:
+
+  * coverage scatter-add        <- np.add.at loops (runs/reference.py:122-144)
+  * clamped-segment window sums <- bn.move_sum per contig per window
+                                   (runs/reference.py:215-269); here a single
+                                   cumulative sum + two clamped gathers per
+                                   window, exact for min_count=1 semantics and
+                                   respecting contig-block boundaries.
+  * read-start posterior        <- readstartdist.py:86-117
+  * exponent-binned threshold   <- find_strat_thread (runs/sequences.py:565-649)
+                                   including its frexp |exponent| aliasing
+                                   (exponent +1 of the max element and -1 share
+                                   a bin) which we reproduce bit-for-bit at the
+                                   decision level.
+
+All functions are shape-polymorphic jnp code, jitted by the caller; window
+sizes arrive as traced scalars so a changing read-length distribution never
+triggers recompilation.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ----------------------------------------------------------------- scatter --
+
+def scatter_add_3d(target, idx0, idx1, idx2, w):
+    """target[idx0, idx1, idx2] += w with out-of-range entries dropped."""
+    return target.at[idx0, idx1, idx2].add(w.astype(target.dtype), mode="drop")
+
+
+def scatter_add_2d(target, idx0, idx1, w):
+    return target.at[idx0, idx1].add(w.astype(target.dtype), mode="drop")
+
+
+# ------------------------------------------------------------- window sums --
+
+def _csum(x):
+    """[..., N] -> [..., N+1] exclusive-prefix cumulative sum in f32."""
+    cs = jnp.cumsum(x, axis=-1, dtype=jnp.promote_types(x.dtype, jnp.float32))
+    zero = jnp.zeros(cs.shape[:-1] + (1,), cs.dtype)
+    return jnp.concatenate([zero, cs], axis=-1)
+
+
+def windowed_sums_fwd(cs, w, seg_end, rows):
+    """out[..., r] = sum(x[r : min(r+w, seg_end[r])]).
+
+    cs: exclusive cumsum of x ([..., N+1]); w: traced scalar window;
+    seg_end: [N] exclusive segment bound; rows: [N] iota.
+    Equals bn.move_sum(x[::-1], w, min_count=1)[::-1] per segment.
+    """
+    hi = jnp.minimum(rows + w, seg_end)
+    return jnp.take(cs, hi, axis=-1) - jnp.take(cs, rows, axis=-1)
+
+
+def windowed_sums_rev(cs, w, seg_start, rows):
+    """out[..., r] = sum(x[max(r+1-w, seg_start[r]) : r+1]).
+
+    Equals bn.move_sum(x, w, min_count=1) per segment.
+    """
+    lo = jnp.maximum(rows + 1 - w, seg_start)
+    return jnp.take(cs, rows + 1, axis=-1) - jnp.take(cs, lo, axis=-1)
+
+
+def expected_benefit(scores_ds, approx_ccl_ds, seg_start, seg_end, mu_ds: int = 4):
+    """(smu, benefit), both [..., N, 2], from downsampled scores [..., N].
+
+    benefit = sum_i weight_i * window_sum(ccl_i) - smu, clipped >= 0, with the
+    10 CCL piece weights 0.95..0.05 (runs/reference.py:241-269).
+    """
+    n = scores_ds.shape[-1]
+    rows = jnp.arange(n, dtype=jnp.int32)
+    cs = _csum(scores_ds)
+    smu_f = windowed_sums_fwd(cs, mu_ds, seg_end, rows)
+    smu_r = windowed_sums_rev(cs, mu_ds, seg_start, rows)
+    smu = jnp.stack([smu_f, smu_r], axis=-1)
+
+    weights = jnp.arange(0.05, 1.0, 0.1, dtype=cs.dtype)[::-1]
+    ebf = jnp.zeros_like(smu_f)
+    ebr = jnp.zeros_like(smu_r)
+    for i in range(10):
+        w = jnp.maximum(approx_ccl_ds[i], 1)
+        ebf = ebf + weights[i] * windowed_sums_fwd(cs, w, seg_end, rows)
+        ebr = ebr + weights[i] * windowed_sums_rev(cs, w, seg_start, rows)
+    eb = jnp.stack([ebf, ebr], axis=-1)
+    return smu, jnp.maximum(eb - smu, 0.0)
+
+
+# ------------------------------------------------------------------- fhat ---
+
+def fhat_pointmass(read_starts, row_valid, n_windows: int, alpha: float = 1.0, p0: float = 0.1):
+    """Posterior-mean read-start probability per (window, strand).
+
+    read_starts: [W, 2] accumulated counts (padding rows all-zero);
+    row_valid: [W] bool; n_windows: static count of real windows.
+    Point mass at zero for unobserved windows (readstartdist.py:86-117).
+    """
+    dtype = read_starts.dtype
+    csum = jnp.sum(read_starts)
+    denom = 2.0 * n_windows * alpha + csum
+    beta_num = jnp.exp(jax.scipy.special.betaln(alpha, (2.0 * n_windows - 1.0) * alpha + csum))
+    beta_denom = jnp.exp(
+        jax.scipy.special.betaln(jnp.asarray(alpha, dtype), (2.0 * n_windows - 1.0) * alpha)
+    )
+    beta_denom = jnp.where(beta_denom == 0, 1e-20, beta_denom)
+    p0_bit = p0 / (p0 + (1.0 - p0))
+    expected_post = (1.0 - p0_bit * (beta_num / beta_denom)) * (alpha / denom)
+    fh = jnp.where(read_starts > 0, (alpha + read_starts) / denom, expected_post)
+    return jnp.where(row_valid[:, None], fh, 0.0)
+
+
+# -------------------------------------------------------- threshold scan ----
+
+def frexp_abs_exponent(x, nbins: int):
+    """|numpy.frexp exponent| of positive floats, clamped to [0, nbins-1].
+
+    Exact IEEE-bit extraction (no log2 rounding at bin edges). Subnormals are
+    sent to the top bin — their benefit is ~0 and never near the threshold.
+    """
+    if x.dtype == jnp.float32:
+        bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+        biased = (bits >> 23) & 0xFF
+        e = biased - 126
+    elif x.dtype == jnp.float64:
+        bits = jax.lax.bitcast_convert_type(x, jnp.int64)
+        biased = ((bits >> 52) & 0x7FF).astype(jnp.int32)
+        e = biased - 1022
+    else:
+        raise TypeError(x.dtype)
+    a = jnp.abs(e.astype(jnp.int32))
+    a = jnp.where(biased == 0, nbins - 1, a)  # subnormal
+    return jnp.minimum(a, nbins - 1)
+
+
+class ThresholdResult(NamedTuple):
+    strat: jax.Array       # bool, same shape as benefit
+    threshold: jax.Array   # scalar
+    any_nonzero: jax.Array  # bool scalar
+
+
+def find_strategy(benefit, smu, fhat, time_cost, nbins: int = 192, window: int = 100) -> ThresholdResult:
+    """Global accept/reject threshold via binary-exponent binning.
+
+    benefit/smu/fhat: same shape (any); time_cost: traced scalar.
+    Mirrors sequences.py:565-649. The reference's runs/core.py:182-183 passes
+    benefit where it means smu into the ubar0 term; we use the intended smu.
+    """
+    dtype = benefit.dtype
+    alpha_t, rho_t, mu_t = 300 // window, 300 // window, 400 // window
+    tc = (time_cost // window).astype(dtype)
+
+    b = benefit.ravel()
+    f = fhat.ravel().astype(dtype)
+    nz = b > 0
+    any_nz = jnp.any(nz)
+    norm = jnp.max(b)
+    norm_safe = jnp.where(norm > 0, norm, 1.0)
+    idx = frexp_abs_exponent(jnp.where(nz, b / norm_safe, 1.0), nbins)
+    nzf = nz.astype(dtype)
+    counts = jnp.zeros(nbins, dtype).at[idx].add(nzf)
+    fsum = jnp.zeros(nbins, dtype).at[idx].add(f * nzf)
+    used = counts > 0
+    f_mean = jnp.where(used, fsum / jnp.maximum(counts, 1.0), 0.0)
+    bin_ids = jnp.arange(nbins, dtype=jnp.int32)
+    benefit_bin = jnp.exp2(-bin_ids.astype(dtype)) * norm_safe
+
+    ubar0 = jnp.sum(fhat.astype(dtype) * smu.astype(dtype))
+    tbar0 = jnp.asarray(alpha_t + rho_t + mu_t, dtype)
+    cs_u = jnp.cumsum(benefit_bin * f_mean * counts) + ubar0
+    cs_t = jnp.cumsum(tc * counts * f_mean) + tbar0
+    peak = jnp.where(used, cs_u / cs_t, -jnp.inf)
+    kmax = jnp.argmax(peak)
+    # threshold bin: next used bin after kmax, else the last used bin
+    after = used & (bin_ids > kmax)
+    nxt = jnp.min(jnp.where(after, bin_ids, nbins))
+    last_used = jnp.max(jnp.where(used, bin_ids, -1))
+    thr_idx = jnp.where(nxt < nbins, nxt, last_used).astype(jnp.int32)
+    threshold = benefit_bin[jnp.maximum(thr_idx, 0)]
+    strat = benefit >= threshold
+    return ThresholdResult(strat=strat, threshold=threshold, any_nonzero=any_nz)

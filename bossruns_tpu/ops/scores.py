@@ -1,0 +1,85 @@
+"""Per-site posterior / entropy / expected-benefit-score kernels (JAX).
+
+The score of a genome site is the expected decrease in Shannon entropy of the
+genotype posterior after observing one more read symbol at that site (the
+mutual information between the next observation and the genotype).
+
+Reference semantics: /root/reference/boss/runs/sequences.py:460-549
+(calc_posterior + calc_score). The reference precomputes a ~3.3 GB 6-D lookup
+table (sequences.py:347-393) because per-site Python math is slow; on TPU we
+recompute every site densely each update. Moreover the score admits a closed
+form that removes the reference's [sites, symbols, genotypes] intermediate
+entirely: with p the posterior, phi[b,g] = P(obs b | genotype g) and
+sum_b phi[b,g] = 1,
+
+    score = sum_g p[g] * k[g]  -  sum_b q[b] * log q[b]
+    k[g]  = sum_b phi[b,g] * log phi[b,g]        (a [G] constant)
+    q     = p @ phi.T                            (next-observation probability)
+
+so the whole genome scores reduce to two small matmuls ([N,B]x[B,G] for the
+log-likelihood, [N,G]x[G,B] for q) plus elementwise ops — MXU/VPU friendly,
+fully fused by XLA, and trivially shardable along the site axis N.
+
+Counts are clipped at 990 like the reference's phi_stored indexing guard
+(sequences.py:493).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .model import ObservationModel
+
+COUNT_CLIP = 990
+
+
+class ScoreTables:
+    """Device-resident constants derived from an ObservationModel."""
+
+    def __init__(self, model: ObservationModel, dtype=jnp.float32):
+        self.model = model
+        self.dtype = dtype
+        self.len_b = model.len_b
+        phi = model.phi
+        self.phi = jnp.asarray(phi, dtype)
+        self.log_phi = jnp.asarray(model.log_phi, dtype)
+        self.log_prior = jnp.asarray(model.log_prior, dtype)
+        # k[g] = sum_b phi log phi (negative per-genotype observation entropy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            k = np.where(phi > 0, phi * np.log(np.where(phi > 0, phi, 1.0)), 0.0).sum(0)
+        self.k = jnp.asarray(k, dtype)
+
+
+def site_log_posterior(counts, ref_base, tables: ScoreTables):
+    """log posterior over genotypes per site.
+
+    counts: [..., B>=len_b] observation counts, ref_base: [...] int in 0..3.
+    Returns log_post [..., G].
+    """
+    c = jnp.clip(counts[..., : tables.len_b], 0, COUNT_CLIP).astype(tables.dtype)
+    ll = jnp.dot(c, tables.log_phi, preferred_element_type=tables.dtype)
+    lp = ll + tables.log_prior[ref_base]
+    lse = jax.scipy.special.logsumexp(lp, axis=-1, keepdims=True)
+    return lp - lse
+
+
+def site_scores(counts, ref_base, tables: ScoreTables):
+    """(score, entropy) per site; closed form, see module docstring."""
+    log_post = site_log_posterior(counts, ref_base, tables)
+    post = jnp.exp(log_post)
+    entropy = -jnp.sum(post * log_post, axis=-1)
+    q = jnp.dot(post, tables.phi.T, preferred_element_type=tables.dtype)  # [..., B]
+    qlogq = jnp.where(q > 0, q * jnp.log(jnp.where(q > 0, q, 1.0)), 0.0)
+    score = jnp.sum(post * tables.k, axis=-1) - jnp.sum(qlogq, axis=-1)
+    return score, entropy
+
+
+def prior_score(model: ObservationModel, dtype=jnp.float64) -> tuple[float, float]:
+    """(score0, entropy0) of a zero-coverage site (matches Scoring.score0/ent0,
+    sequences.py:342)."""
+    t = ScoreTables(model, dtype)
+    c = jnp.zeros((1, model.len_b), dtype)
+    r = jnp.zeros((1,), jnp.int32)
+    s, e = site_scores(c, r, t)
+    return float(s[0]), float(e[0])

@@ -1,0 +1,291 @@
+"""Float64 NumPy oracle implementing the reference BOSS-RUNS math.
+
+This module is the conformance baseline for the TPU kernels: a compact,
+vectorised re-implementation of the *mathematics* of the reference pipeline
+(posterior/entropy score, S_mu / expected-benefit window sums, read-start
+posterior, exponent-binned threshold scan) in float64 on CPU.
+
+It serves two purposes:
+  * unit tests compare every TPU kernel against it (value closeness for f32,
+    decision-level identity for the strategy masks), and
+  * bench.py times it as the "CPU BOSS-RUNS" stand-in baseline, since the
+    actual reference cannot run here (its mappy/bottleneck C deps are absent).
+
+Reference semantics sources (file:line cited per function):
+  /root/reference/boss/runs/sequences.py   (posterior, score, threshold scan)
+  /root/reference/boss/runs/reference.py   (S_mu, expected benefit windows)
+  /root/reference/boss/runs/readstartdist.py (fhat point-mass posterior)
+
+NOTE on a reference quirk: runs/core.py:182-183 passes ``benefit`` where it
+means ``smu`` when adjusting lengths, so the reference's ubar0 term is computed
+from benefit rather than S_mu. We implement the *intended* semantics (ubar0
+from S_mu); the term only shifts both cumulative sums by a constant.
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.special import betaln
+
+from .ops.model import ObservationModel
+
+COUNT_CLIP = 990
+
+
+# ---------------------------------------------------------------- posterior --
+
+def site_posterior(counts: np.ndarray, ref_base: np.ndarray, model: ObservationModel) -> np.ndarray:
+    """Posterior over genotypes per site. counts [N,>=len_b], ref [N] -> [N,G].
+
+    Multiplicative form like sequences.py:485-516: post ∝ prior[r] * Π phi^c.
+    """
+    c = np.minimum(counts[:, : model.len_b], COUNT_CLIP).astype(np.float64)
+    lik = np.prod(model.phi[None, :, :] ** c[:, :, None], axis=1)  # [N, G]
+    post = model.prior[ref_base] * lik
+    z = post.sum(axis=1)
+    z[z < 1e-300] = 1e-300
+    return post / z[:, None]
+
+
+def site_scores(counts: np.ndarray, ref_base: np.ndarray, model: ObservationModel):
+    """(score, entropy) per site; sequences.py:520-549 vectorised."""
+    post = site_posterior(counts, ref_base, model)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        logs = np.where(post > 0, np.log(np.where(post > 0, post, 1.0)), 0.0)
+    entropy = -(post * logs).sum(axis=1)
+
+    p2 = post[:, None, :] * model.phi[None, :, :]  # [N, B, G]
+    q = p2.sum(axis=2)  # [N, B]
+    q = np.where(q == 0, 1e-300, q)
+    new_post = p2 / q[:, :, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lnp = np.where(new_post > 0, np.log(np.where(new_post > 0, new_post, 1.0)), 0.0)
+    new_entropy = -(q[:, :, None] * new_post * lnp).sum(axis=(1, 2))
+    return entropy - new_entropy, entropy
+
+
+# ------------------------------------------------------------- window sums --
+
+def move_sum_fwd(x: np.ndarray, w: int) -> np.ndarray:
+    """out[i] = sum(x[i : i+w]) clamped at the array end.
+
+    Equals bn.move_sum(x[::-1], window=w, min_count=1)[::-1]
+    (runs/reference.py:233).
+    """
+    cs = np.concatenate([[0.0], np.cumsum(x, dtype=np.float64)])
+    n = x.shape[0]
+    hi = np.minimum(np.arange(n) + w, n)
+    return cs[hi] - cs[:n]
+
+
+def move_sum_rev(x: np.ndarray, w: int) -> np.ndarray:
+    """out[i] = sum(x[max(0, i-w+1) : i+1]).
+
+    Equals bn.move_sum(x, window=w, min_count=1) (runs/reference.py:234).
+    """
+    cs = np.concatenate([[0.0], np.cumsum(x, dtype=np.float64)])
+    n = x.shape[0]
+    lo = np.maximum(np.arange(n) + 1 - w, 0)
+    return cs[1 : n + 1] - cs[lo]
+
+
+def downsample_sum(x: np.ndarray, out_len: int, window: int = 100) -> np.ndarray:
+    """Sum x into out_len bins of `window` sites (runs/reference.py:229-231)."""
+    out = np.zeros(out_len, dtype=np.float64)
+    idx = np.arange(x.shape[0]) // window
+    np.add.at(out, idx, x)
+    return out
+
+
+def expected_benefit(scores_ds: np.ndarray, approx_ccl: np.ndarray, mu: int = 400, window: int = 100):
+    """(smu [L,2], benefit [L,2]) for one contig's downsampled scores.
+
+    S_mu and the CCL-weighted 10-window expected benefit; the per-window
+    weights are 0.95, 0.85, ..., 0.05 (runs/reference.py:215-269).
+    """
+    n = scores_ds.shape[0]
+    smu = np.stack([move_sum_fwd(scores_ds, mu // window), move_sum_rev(scores_ds, mu // window)], axis=1)
+    weights = np.arange(0.05, 1, 0.1)[::-1]
+    eb = np.zeros((n, 2))
+    ccl_ds = approx_ccl // window
+    for i in range(10):
+        w = max(int(ccl_ds[i]), 1)
+        eb[:, 0] += move_sum_fwd(scores_ds, w) * weights[i]
+        eb[:, 1] += move_sum_rev(scores_ds, w) * weights[i]
+    benefit = eb - smu
+    benefit[benefit < 0] = 0.0
+    return smu, benefit
+
+
+# ------------------------------------------------------------- threshold ----
+
+def find_strategy(benefit: np.ndarray, smu: np.ndarray, fhat: np.ndarray, time_cost: float):
+    """Global accept threshold via binary-exponent binning.
+
+    Mirrors Scoring.find_strat_thread (sequences.py:565-649) without the
+    thread pools: frexp-bin the non-zero benefits, per-bin counts and mean
+    fhat, then maximise cumulative benefit rate / time rate.
+
+    Returns (strat bool same shape as benefit, threshold).
+    """
+    window = 100
+    alpha, rho, mu = 300 // window, 300 // window, 400 // window
+    tc = time_cost // window
+
+    bflat = benefit.ravel()
+    nz = np.flatnonzero(bflat)
+    if nz.size == 0:
+        return np.ones_like(benefit, dtype=bool), 0.0
+    bnz = bflat[nz]
+    normaliser = bnz.max()
+    _, exponents = np.frexp(bnz / normaliser)
+    expo = np.abs(exponents)
+    counts_all = np.bincount(expo)
+    f_all = np.bincount(expo, weights=fhat.ravel()[nz])
+    used = np.flatnonzero(counts_all)
+    counts = counts_all[used]
+    f_mean = f_all[used] / counts
+    benefit_bin = np.power(2.0, -used.astype(np.float64)) * normaliser
+
+    ubar0 = float(np.sum(fhat * smu))
+    tbar0 = alpha + rho + mu
+    cs_u = np.cumsum(benefit_bin * f_mean * counts) + ubar0
+    cs_t = np.cumsum(tc * counts * f_mean) + tbar0
+    peak = cs_u / cs_t
+    strat_size = int(np.argmax(peak)) + 1
+    threshold = benefit_bin[strat_size] if strat_size < benefit_bin.shape[0] else benefit_bin[-1]
+    return benefit >= threshold, float(threshold)
+
+
+# ------------------------------------------------------------------- fhat ---
+
+def fhat_pointmass(read_starts: np.ndarray, alpha: float = 1.0, p0: float = 0.1) -> np.ndarray:
+    """Posterior mean read-start probability per (window, strand).
+
+    read_starts: [W, 2] counts. Point mass at zero for unobserved windows
+    (readstartdist.py:86-117).
+    """
+    n_windows = read_starts.shape[0]
+    csum = read_starts.sum()
+    denom = 2 * n_windows * alpha + csum
+    fhat = (alpha + read_starts) / denom
+    beta_num = np.exp(betaln(alpha, (2 * n_windows - 1) * alpha + csum))
+    beta_denom = np.exp(betaln(alpha, (2 * n_windows - 1) * alpha)) or 1e-20
+    p0_bit = p0 / (p0 + (1 - p0))
+    expected_post = (1 - p0_bit * (beta_num / beta_denom)) * (alpha / denom)
+    out = np.where(read_starts > 0, fhat, expected_post)
+    return out
+
+
+# ----------------------------------------------------- full pipeline oracle --
+
+def full_update(engine, state_np: dict, batch_np: dict, approx_ccl, time_cost,
+                bucket_threshold: float = 5.0):
+    """Float64 numpy reference of one full RunsEngine step.
+
+    engine: a models.runs.RunsEngine (used only for its layout/model/config).
+    state_np: dict of numpy arrays mirroring GenomeState fields.
+    batch_np: dict with cov_pos/cov_sym/cov_bc/cov_w/rs_row/rs_strand/rs_w.
+    Returns (new_state_np, aux dict). Semantics identical to RunsEngine._step
+    but computed in float64 like the reference implementation.
+    """
+    from .models.layout import BUCKET, DS
+
+    lay = engine.layout
+    model = engine.model
+    cfg = engine.config
+    nb = lay.n_barcodes
+    G, Gd = lay.G_pad, lay.Gd_pad
+    tiny = np.finfo(np.float64).tiny
+
+    cov = state_np["coverage"].copy()
+    w = batch_np["cov_w"].astype(np.float64)
+    sym = batch_np["cov_sym"]
+    if model.len_b == 4:
+        w = np.where(sym == 4, 0.0, w)
+    inc = np.zeros_like(cov)
+    np.add.at(inc, (batch_np["cov_bc"], batch_np["cov_pos"], sym), w.astype(cov.dtype))
+    cov += inc
+    changed_site = (inc != 0).any(axis=(0, 2))
+
+    covsum = cov.sum(axis=2).astype(np.float64)  # [NB, G]
+    seq = lay.seq_int.astype(np.int32)
+    fresh = np.stack([site_scores(cov[b], seq, model)[0] for b in range(nb)])
+    site_valid = lay.site_valid()
+    maxed = covsum >= cfg.freeze_cov
+    scores = np.where(site_valid[None], fresh, 0.0)
+    scores = np.where(maxed, tiny, scores)
+
+    covsum_ds = covsum.reshape(nb, Gd, DS).sum(axis=2)
+    cid = np.where(lay.contig_id_ds < 0, lay.n_contigs, lay.contig_id_ds)
+    per_contig = np.zeros(lay.n_contigs + 1)
+    np.add.at(per_contig, cid, covsum_ds.sum(axis=0))
+    denom = np.append(lay.lengths * nb, 1).astype(np.float64)
+    mean_c = per_contig / denom
+    thr = np.floor(mean_c / cfg.dropout_mod)
+    active = mean_c > cfg.dropout_min_mean
+    site_cid = cid[np.arange(G) // DS]
+    drop_now = active[site_cid] & site_valid & (covsum <= thr[site_cid][None]).any(axis=0)
+    drop_now = np.broadcast_to(drop_now[None], (nb, G))
+
+    recomputed = changed_site[None] & ~maxed
+    hold_zero = state_np["zeroed"] & ~recomputed
+    scores = np.where(hold_zero | drop_now, 0.0, scores)
+    zeroed = drop_now | hold_zero
+
+    # buckets
+    cc = np.concatenate([np.zeros((nb, 1)), np.cumsum(covsum_ds, axis=1)], axis=1)
+    lo = lay.bucket_lo_ds
+    lo_safe = np.maximum(lo, 0)
+    wsum = cc[:, lo_safe + BUCKET // DS] - cc[:, lo_safe]
+    bucket_valid = np.arange(lay.NBk_pad) < lay.n_buckets
+    bucket_mean = np.where(lo >= 0, wsum / BUCKET, 0.0)
+    bucket_on = state_np["bucket_on"] | ((bucket_mean >= bucket_threshold) & bucket_valid)
+    any_on = bool(bucket_on.any())
+
+    # fhat
+    read_starts = state_np["read_starts"].copy()
+    np.add.at(read_starts, (batch_np["rs_row"], batch_np["rs_strand"]), batch_np["rs_w"])
+    fh = np.zeros((lay.Wf_pad, 2))
+    fh[: lay.n_fhat] = fhat_pointmass(
+        read_starts[: lay.n_fhat], alpha=cfg.fhat_alpha, p0=cfg.fhat_p0
+    )
+    fidx = lay.fhat_idx
+    fhat_exp = np.where((fidx >= 0)[:, None], fh[np.maximum(fidx, 0)], 0.0)
+    tot = fhat_exp.sum()
+    if tot > 0:
+        fhat_exp = fhat_exp * (cfg.on_target / tot)
+
+    # benefit
+    scores_ds = scores.reshape(nb, Gd, DS).sum(axis=2)
+    ccl_ds = np.maximum(np.asarray(approx_ccl) // DS, 1)
+    smu = np.zeros((nb, Gd, 2))
+    ben = np.zeros((nb, Gd, 2))
+    rows = np.arange(Gd)
+    seg_s, seg_e = lay.ds_seg_start, lay.ds_seg_end
+    weights = np.arange(0.05, 1, 0.1)[::-1]
+    for b in range(nb):
+        cs = np.concatenate([[0.0], np.cumsum(scores_ds[b])])
+        mu_ds = cfg.mu // DS
+        smu[b, :, 0] = cs[np.minimum(rows + mu_ds, seg_e)] - cs[rows]
+        smu[b, :, 1] = cs[rows + 1] - cs[np.maximum(rows + 1 - mu_ds, seg_s)]
+        for i in range(10):
+            wd = int(ccl_ds[i])
+            ben[b, :, 0] += weights[i] * (cs[np.minimum(rows + wd, seg_e)] - cs[rows])
+            ben[b, :, 1] += weights[i] * (cs[rows + 1] - cs[np.maximum(rows + 1 - wd, seg_s)])
+    ben = np.maximum(ben - smu, 0.0)
+
+    fhat_b = np.broadcast_to(fhat_exp[None], ben.shape)
+    strat_cand, threshold = find_strategy(ben, smu, fhat_b, time_cost)
+    any_nz = bool((ben > 0).any())
+
+    bidx = lay.bucket_idx
+    gate = bucket_on[:, np.maximum(bidx, 0)] & (bidx >= 0)[None]
+    do_update = any_on and any_nz
+    write = do_update & gate & lay.strat_row_valid[None]
+    strat = np.where(write[:, :, None], strat_cand, state_np["strat"])
+
+    new_state = dict(coverage=cov, zeroed=zeroed, bucket_on=bucket_on,
+                     read_starts=read_starts, strat=strat)
+    aux = dict(any_on=any_on, updated=do_update, threshold=threshold,
+               benefit=ben, smu=smu, scores=scores, fhat=fhat_exp)
+    return new_state, aux

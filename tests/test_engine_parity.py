@@ -1,0 +1,69 @@
+"""Full update-step parity: f32 TPU engine vs f64 numpy oracle pipeline."""
+import jax.numpy as jnp
+import numpy as np
+
+from bossruns_tpu import oracle
+from bossruns_tpu.models.layout import build_layout
+from bossruns_tpu.models.runs import ReadBatch, RunsEngine
+
+
+def _random_batch(rng, lay, n_obs, nb=1, n_rs=300):
+    # coverage concentrated into contig prefixes so buckets switch on
+    sites = []
+    for c in range(lay.n_contigs):
+        span = min(25_000, int(lay.lengths[c]))
+        sites.append(lay.offsets[c] + rng.integers(0, span, n_obs // lay.n_contigs))
+    pos = np.concatenate(sites).astype(np.int32)
+    sym = lay.seq_int[pos].astype(np.int32)
+    flip = rng.random(pos.shape[0]) < 0.05
+    sym[flip] = rng.integers(0, 5, int(flip.sum()))
+    m = 1 << int(np.ceil(np.log2(max(pos.shape[0], 1))))
+    pad = m - pos.shape[0]
+    return dict(
+        cov_pos=np.concatenate([pos, np.zeros(pad, np.int32)]),
+        cov_sym=np.concatenate([sym, np.zeros(pad, np.int32)]),
+        cov_bc=rng.integers(0, nb, m).astype(np.int32) * np.concatenate([np.ones(pos.shape[0], np.int32), np.zeros(pad, np.int32)]),
+        cov_w=np.concatenate([np.ones(pos.shape[0], np.float32), np.zeros(pad, np.float32)]),
+        rs_row=rng.integers(0, lay.n_fhat, n_rs).astype(np.int32),
+        rs_strand=rng.integers(0, 2, n_rs).astype(np.int32),
+        rs_w=np.ones(n_rs, np.float32),
+    )
+
+
+def test_engine_matches_oracle_decisions(rng):
+    seqA = rng.integers(0, 4, 150_000).astype(np.uint8)
+    seqB = rng.integers(0, 4, 120_000).astype(np.uint8)
+    lay = build_layout({"a": seqA, "b": seqB})
+    eng = RunsEngine(lay)
+    state = eng.init_state()
+    state_np = {k: np.asarray(v) for k, v in state._asdict().items()}
+    state_np["read_starts"] = state_np["read_starts"].astype(np.float64)
+    ccl = np.array([30000, 20000, 14000, 10000, 7000, 5000, 3500, 2200, 1200, 400])
+    tc = 5300.0
+    params = eng.make_params(ccl, tc)
+
+    for step in range(4):
+        b = _random_batch(rng, lay, n_obs=120_000)
+        jb = ReadBatch(**{k: jnp.asarray(v) for k, v in b.items()})
+        state, aux = eng.step(state, jb, params)
+        state_np, aux_o = oracle.full_update(eng, state_np, b, ccl, tc)
+
+        assert bool(aux.any_on) == aux_o["any_on"], step
+        assert bool(aux.updated) == aux_o["updated"], step
+        np.testing.assert_array_equal(
+            np.asarray(state.coverage), state_np["coverage"], err_msg=f"step {step}"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state.bucket_on), state_np["bucket_on"], err_msg=f"step {step}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.read_starts), state_np["read_starts"], rtol=1e-6
+        )
+        # decision-level parity: strategies may differ only at exponent-bin
+        # edges; demand near-identity
+        agree = (np.asarray(state.strat) == state_np["strat"]).mean()
+        assert agree > 0.995, (step, agree)
+
+    assert bool(aux.updated)  # strategy actually got exercised
+    frac = np.asarray(state.strat)[:, lay.strat_row_valid, :].mean()
+    assert 0.0 < frac < 1.0  # some sites rejected, some accepted
