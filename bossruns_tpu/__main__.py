@@ -1,0 +1,70 @@
+"""CLI entry point: dispatches the 4 experiment modes from one TOML.
+
+Equivalent of /root/reference/boss/BOSS.py: live/simulation x RUNS/AEONS is
+selected by presence of simulation.fq (sim) and general.ref (RUNS vs AEONS).
+
+    python -m bossruns_tpu --toml config.toml
+"""
+from __future__ import annotations
+
+import logging
+import sys
+import time
+
+from .config import Config
+
+logger = logging.getLogger("boss_tpu")
+
+
+def main(argv=None) -> int:
+    conf = Config(parse=True, argv=argv)
+    args = conf.args
+    sim = bool(args.simulation.fq)
+    runs = bool(args.general.ref)
+
+    if not sim and runs:
+        from .models.experiment import BossRuns
+
+        exp = BossRuns(args)
+        exp.launch_live_components()
+        while True:
+            wait = exp.process_batch()
+            if wait > 0:
+                time.sleep(wait)
+
+    elif sim and runs:
+        from .models.runs_sim import BossRunsSim
+
+        exp = BossRunsSim(
+            ref=args.general.ref,
+            fq=args.simulation.fq,
+            paf_full=args.simulation.paf_full,
+            paf_trunc=args.simulation.paf_trunc,
+            name=args.general.name,
+            batchsize=args.simulation.batchsize,
+            maxb=args.simulation.maxb,
+            dumptime=args.simulation.dumptime,
+            barcodes=args.general.barcodes,
+            reject_refs=args.optional.reject_refs,
+            ploidy=args.optional.ploidy,
+            accept_unmapped=args.simulation.accept_unmapped,
+        )
+        exp.run()
+        logger.info("simulation finished")
+
+    elif sim and not runs:
+        from .aeons.simulation import BossAeonsSim
+
+        exp = BossAeonsSim(args)
+        exp.run()
+
+    else:
+        from .aeons.core import BossAeons
+
+        exp = BossAeons(args)
+        exp.run()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -46,6 +46,31 @@ def site_posterior(counts: np.ndarray, ref_base: np.ndarray, model: ObservationM
     return post / z[:, None]
 
 
+def site_scores_fast(counts: np.ndarray, ref_base: np.ndarray, model: ObservationModel):
+    """Closed-form f64 scores (same math as ops/scores.py, NumPy).
+
+    Used as the CPU baseline in bench.py: the strongest plausible optimized
+    CPU implementation (log-space matmul instead of the reference's lookup
+    table / this module's literal power products). Agrees with site_scores
+    to ~1e-13.
+    """
+    c = np.minimum(counts[:, : model.len_b], COUNT_CLIP).astype(np.float64)
+    lphi = model.log_phi
+    ll = c @ lphi + model.log_prior[ref_base]
+    ll -= ll.max(axis=1, keepdims=True)
+    post = np.exp(ll)
+    post /= post.sum(axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lp = np.where(post > 0, np.log(np.where(post > 0, post, 1.0)), 0.0)
+    entropy = -(post * lp).sum(axis=1)
+    q = post @ model.phi.T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        qlogq = np.where(q > 0, q * np.log(np.where(q > 0, q, 1.0)), 0.0)
+    with np.errstate(invalid="ignore"):
+        k = np.where(model.phi > 0, model.phi * model.log_phi, 0.0).sum(axis=0)
+    return post @ k - qlogq.sum(axis=1), entropy
+
+
 def site_scores(counts: np.ndarray, ref_base: np.ndarray, model: ObservationModel):
     """(score, entropy) per site; sequences.py:520-549 vectorised."""
     post = site_posterior(counts, ref_base, model)
@@ -179,7 +204,7 @@ def fhat_pointmass(read_starts: np.ndarray, alpha: float = 1.0, p0: float = 0.1)
 # ----------------------------------------------------- full pipeline oracle --
 
 def full_update(engine, state_np: dict, batch_np: dict, approx_ccl, time_cost,
-                bucket_threshold: float = 5.0):
+                bucket_threshold: float = 5.0, fast_scores: bool = False):
     """Float64 numpy reference of one full RunsEngine step.
 
     engine: a models.runs.RunsEngine (used only for its layout/model/config).
@@ -209,7 +234,8 @@ def full_update(engine, state_np: dict, batch_np: dict, approx_ccl, time_cost,
 
     covsum = cov.sum(axis=2).astype(np.float64)  # [NB, G]
     seq = lay.seq_int.astype(np.int32)
-    fresh = np.stack([site_scores(cov[b], seq, model)[0] for b in range(nb)])
+    score_fn = site_scores_fast if fast_scores else site_scores
+    fresh = np.stack([score_fn(cov[b], seq, model)[0] for b in range(nb)])
     site_valid = lay.site_valid()
     maxed = covsum >= cfg.freeze_cov
     scores = np.where(site_valid[None], fresh, 0.0)
