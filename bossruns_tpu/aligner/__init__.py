@@ -1,0 +1,255 @@
+"""TPU-native read-to-reference aligner (mappy/minimap2 replacement).
+
+Pipeline per batch:
+  host encode -> device minimizer seeding + diagonal voting (seed.py, jitted)
+  -> native banded-DP extension with CIGAR traceback (native/banded_align.cpp)
+  -> PafRecords compatible with the rest of the data plane.
+
+Replaces the reference's Mapper.map_sequences (boss/mapper.py:52-65): same
+facade contract ({read_id: seq} -> alignment records, optional mu-truncation
+for AEONS sims, min alignment length mu/2), but batched on device instead of
+per-read C calls under a thread pool.
+
+Parity note (SURVEY.md §7.6): exact minimap2 output equality is not a goal —
+decision-level parity (same locus/strand, CIGAR-accurate coverage) is. Reads
+get one primary alignment (the best voted diagonal); mapq encodes uniqueness
+of the winning diagonal cluster.
+"""
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..io.paf import PafRecords
+from ..models.layout import GenomeLayout
+from . import native
+from .index import K, MinimizerIndex, W, build_index
+from .seed import DeviceIndex, seed_and_vote
+
+logger = logging.getLogger("boss_tpu")
+
+_ENC = np.full(256, 4, dtype=np.int8)
+for _i, _b in enumerate(b"ACGT"):
+    _ENC[_b] = _i
+    _ENC[_b + 32] = _i
+_RC = np.array([3, 2, 1, 0, 4], dtype=np.int8)
+
+LENGTH_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384, 32768)
+
+
+def encode(seq: str) -> np.ndarray:
+    return _ENC[np.frombuffer(seq.encode(), dtype=np.uint8)]
+
+
+class TpuAligner:
+    def __init__(
+        self,
+        layout: GenomeLayout,
+        k: int = K,
+        w: int = W,
+        max_occ: int = 64,
+        min_votes: int = 4,
+        max_divergence: float = 0.35,
+        mu: int = 400,
+        threads: int = 8,
+    ):
+        self.layout = layout
+        self.mu = mu
+        self.min_votes = min_votes
+        self.max_divergence = max_divergence
+        self.threads = threads
+        self.target = np.where(layout.site_valid(), layout.seq_int, 4).astype(np.int8)
+        logger.info("building minimizer index")
+        self.index: MinimizerIndex = build_index(
+            layout.seq_int, layout.site_valid(), k=k, w=w, max_occ=max_occ
+        )
+        self.dev_index = DeviceIndex(self.index)
+        logger.info(f"index: {self.index.n_minimizers} minimizers, "
+                    f"{self.index.keys.shape[0]} distinct k-mers")
+        # host tables for coordinate translation
+        self._block_starts = layout.offsets.astype(np.int64)
+        self._block_ends = (layout.offsets + layout.lengths).astype(np.int64)
+
+    # ----------------------------------------------------------- seeding ----
+
+    def _seed_bucket(self, enc_reads: list[np.ndarray]):
+        import jax.numpy as jnp
+
+        lens = np.array([e.shape[0] for e in enc_reads], np.int32)
+        L = 0
+        for b in LENGTH_BUCKETS:
+            if lens.max(initial=0) <= b:
+                L = b
+                break
+        L = L or LENGTH_BUCKETS[-1]
+        mat = np.full((len(enc_reads), L), 4, np.int8)
+        for r, e in enumerate(enc_reads):
+            mat[r, : min(e.shape[0], L)] = e[:L]
+        out = seed_and_vote(jnp.asarray(mat), self.dev_index, jnp.asarray(np.minimum(lens, L)))
+        return {key: np.asarray(v) for key, v in out.items()}
+
+    # ----------------------------------------------------------- mapping ----
+
+    def map_sequences(self, sequences: dict[str, str], trunc: bool = False,
+                      min_len: int | None = None) -> PafRecords:
+        """Align a batch; returns records with target-forward CIGARs.
+
+        trunc: align only the first mu bases (AEONS sim truncation,
+        mapper.py:60-62). min_len: drop alignments spanning less target than
+        this (defaults to mu/2 like mapper.py:64).
+        """
+        min_len = int(self.mu / 2) if min_len is None else min_len
+        rids = list(sequences)
+        if not rids:
+            return _empty_records()
+        enc = [encode(sequences[r][: self.mu] if trunc else sequences[r]) for r in rids]
+        # bucket by length to bound padded shapes
+        order = np.argsort([e.shape[0] for e in enc], kind="stable")
+        results = {}
+        i = 0
+        while i < len(order):
+            j = i
+            Lmax = None
+            group = []
+            while j < len(order):
+                ln = enc[order[j]].shape[0]
+                b = next((x for x in LENGTH_BUCKETS if ln <= x), LENGTH_BUCKETS[-1])
+                if Lmax is None:
+                    Lmax = b
+                if b != Lmax or len(group) >= 4096:
+                    break
+                group.append(order[j])
+                j += 1
+            seeds = self._seed_bucket([enc[g] for g in group])
+            for slot, g in enumerate(group):
+                results[g] = {k: v[slot] for k, v in seeds.items()}
+            i = j
+
+        # build extension jobs
+        jobs = []
+        G = self.layout.G_pad
+        for g, rd in results.items():
+            if not rd["mapped"] or rd["votes"] < self.min_votes:
+                continue
+            q = enc[g]
+            m = q.shape[0]
+            if m < 50:
+                continue
+            if rd["strand"]:
+                q = _RC[np.minimum(q, 4)][::-1].copy()
+            half = int(np.clip(64 + 0.02 * m, 64, 1024))
+            ts_pred = int(rd["tstart"])
+            # clamp the window to the candidate's contig block so the DP never
+            # wanders into inter-contig padding
+            cid = int(np.searchsorted(self._block_starts, max(ts_pred, 0), side="right") - 1)
+            cid = min(max(cid, 0), len(self.layout.names) - 1)
+            blk_s, blk_e = int(self._block_starts[cid]), int(self._block_ends[cid])
+            ws = max(blk_s, ts_pred - half - 16)
+            we = min(blk_e, ts_pred + m + half + 16)
+            if we - ws < min_len:
+                continue
+            jobs.append((g, q, ws, we, max(0, ts_pred - ws), half))
+        if not jobs:
+            return _empty_records()
+
+        q_cat = np.concatenate([j[1] for j in jobs]).astype(np.int8)
+        q_off = np.concatenate([[0], np.cumsum([j[1].shape[0] for j in jobs])]).astype(np.int64)
+        win_s = np.array([j[2] for j in jobs], np.int64)
+        win_e = np.array([j[3] for j in jobs], np.int64)
+        pad = np.array([j[4] for j in jobs], np.int32)
+        half = np.array([j[5] for j in jobs], np.int32)
+        cost, tstart, tend, cigars = native.align_batch(
+            q_cat, q_off, self.target, win_s, win_e, pad, half, self.threads
+        )
+
+        # assemble records
+        rows = {k: [] for k in (
+            "qname qlen qstart qend rev tname tlen tstart tend nmatch blocklen mapq "
+            "align_score s1 primary".split()
+        )}
+        cigs = []
+        for jix, (g, q, *_rest) in enumerate(jobs):
+            if cost[jix] < 0 or not cigars[jix]:
+                continue
+            m = q.shape[0]
+            if cost[jix] / m > self.max_divergence:
+                continue
+            cig = cigars[jix]
+            # strip leading/trailing insertions (query-only) into soft clips
+            s_al = 0
+            while cig and cig[0][1] == 1:
+                s_al += cig[0][0]
+                cig = cig[1:]
+            e_clip = 0
+            while cig and cig[-1][1] == 1:
+                e_clip += cig[-1][0]
+                cig = cig[:-1]
+            if not cig:
+                continue
+            ts, te = int(tstart[jix]), int(tend[jix])
+            span = te - ts
+            if span < min_len:
+                continue
+            cid = int(np.searchsorted(self._block_starts, ts, side="right") - 1)
+            if cid < 0 or ts >= self._block_ends[cid] or te > self._block_ends[cid]:
+                continue  # crosses padding => bogus candidate
+            n_m = sum(l for l, o in cig if o == 0)
+            n_i = sum(l for l, o in cig if o == 1)
+            n_d = sum(l for l, o in cig if o == 2)
+            mism = int(cost[jix]) - (n_i + n_d + s_al + e_clip)
+            nmatch = max(0, n_m - max(0, mism))
+            rd = results[g]
+            uniq = 1.0 - min(1.0, rd["second"] / max(1, rd["votes"]))
+            mapq = int(min(60, 60 * uniq)) if rd["votes"] >= 2 * self.min_votes else int(30 * uniq)
+            e_al = m - e_clip
+            if rd["strand"]:
+                qstart, qend = m - e_al, m - s_al
+            else:
+                qstart, qend = s_al, e_al
+            off = int(self._block_starts[cid])
+            rows["qname"].append(rids[g])
+            rows["qlen"].append(m)
+            rows["qstart"].append(qstart)
+            rows["qend"].append(qend)
+            rows["rev"].append(int(rd["strand"]))
+            rows["tname"].append(self.layout.names[cid])
+            rows["tlen"].append(int(self.layout.lengths[cid]))
+            rows["tstart"].append(ts - off)
+            rows["tend"].append(te - off)
+            rows["nmatch"].append(nmatch)
+            rows["blocklen"].append(n_m + n_i + n_d)
+            rows["mapq"].append(mapq)
+            rows["align_score"].append(2 * nmatch - int(cost[jix]))
+            rows["s1"].append(int(rd["votes"]))
+            rows["primary"].append(1)
+            cigs.append(native.cigar_to_string(cig))
+
+        return PafRecords(
+            qname=np.array(rows["qname"], dtype=object),
+            qlen=np.array(rows["qlen"], dtype=np.int64),
+            qstart=np.array(rows["qstart"], dtype=np.int64),
+            qend=np.array(rows["qend"], dtype=np.int64),
+            rev=np.array(rows["rev"], dtype=np.int8),
+            tname=np.array(rows["tname"], dtype=object),
+            tlen=np.array(rows["tlen"], dtype=np.int64),
+            tstart=np.array(rows["tstart"], dtype=np.int64),
+            tend=np.array(rows["tend"], dtype=np.int64),
+            nmatch=np.array(rows["nmatch"], dtype=np.int64),
+            blocklen=np.array(rows["blocklen"], dtype=np.int64),
+            mapq=np.array(rows["mapq"], dtype=np.int64),
+            align_score=np.array(rows["align_score"], dtype=np.int64),
+            s1=np.array(rows["s1"], dtype=np.int64),
+            primary=np.array(rows["primary"], dtype=np.int8),
+            cigars=cigs,
+        )
+
+
+def _empty_records() -> PafRecords:
+    z = np.zeros(0, np.int64)
+    return PafRecords(
+        qname=np.array([], dtype=object), qlen=z, qstart=z, qend=z,
+        rev=np.zeros(0, np.int8), tname=np.array([], dtype=object),
+        tlen=z, tstart=z, tend=z, nmatch=z, blocklen=z, mapq=z,
+        align_score=z, s1=z, primary=np.zeros(0, np.int8), cigars=[],
+    )

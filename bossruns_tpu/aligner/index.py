@@ -1,0 +1,130 @@
+"""Minimizer index of the reference genome (host build, device resident).
+
+TPU-native replacement for minimap2's .mmi index (reference delegates index
+construction to mappy, /root/reference/boss/mapper.py:12-23). Canonical
+(k=15, w=10 — the map-ont preset's parameters) minimizers of the concatenated
+padded genome axis are computed with vectorised NumPy, then stored as three
+sorted device arrays:
+
+    keys [U]      sorted unique canonical k-mer codes (30 bits, int32)
+    offsets [U+1] prefix offsets into positions
+    positions [S] global site of each minimizer occurrence (+ strand bit)
+
+Matching is exact on the 30-bit k-mer code (the 32-bit mix hash is used only
+for minimizer *selection* order, like minimap2's invertible hash), so seed
+lookup on device is a binary search (jnp.searchsorted) with zero collisions.
+High-frequency minimizers are dropped (max_occ), mirroring map-ont's
+repetitive-seed filtering.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+from scipy.ndimage import minimum_filter1d
+
+K = 15
+W = 10
+MAX_OCC = 64
+INVALID_HASH = np.int32(2**31 - 1)
+
+
+def selection_hash(x: np.ndarray) -> np.ndarray:
+    """31-bit triple32-style mix; MUST match aligner.seed._hash31 so host
+    index and device reads select identical minimizers."""
+    h = x.astype(np.uint32)
+    h ^= h >> 16
+    h *= np.uint32(0x45D9F3B)
+    h ^= h >> 16
+    h *= np.uint32(0x45D9F3B)
+    h ^= h >> 16
+    return (h >> 1).astype(np.int32)
+
+
+def kmer_codes(codes: np.ndarray, k: int = K):
+    """(fwd, rc) 2-bit packed k-mer codes of a 0..3 int sequence.
+
+    codes may contain values >= 4 (invalid/padding); caller masks those via
+    the validity window. Returns int64 arrays of length len(codes)-k+1.
+    """
+    n = codes.shape[0] - k + 1
+    fwd = np.zeros(n, dtype=np.int64)
+    rc = np.zeros(n, dtype=np.int64)
+    c = codes.astype(np.int64)
+    for j in range(k):
+        fwd = (fwd << 2) | (c[j : j + n] & 3)
+        rc = (rc << 2) | (3 - (c[k - 1 - j : k - 1 - j + n] & 3))
+    return fwd, rc
+
+
+def minimizer_mask(h: np.ndarray, w: int = W) -> np.ndarray:
+    """True where position i is the minimum of some w-window (all ties)."""
+    # wmin[p] = min(h[p : p+w]); i is a minimizer iff h[i] equals the min of
+    # a window containing i <=> h[i] == min(wmin[i-w+1 : i+1])
+    wmin = minimum_filter1d(h, size=w, mode="nearest", origin=-(w // 2))
+    m2 = minimum_filter1d(wmin, size=w, mode="nearest", origin=(w - 1) // 2)
+    return h == m2
+
+
+@dataclasses.dataclass
+class MinimizerIndex:
+    keys: np.ndarray       # [U] int32 sorted canonical k-mer codes... int64 (30 bits)
+    offsets: np.ndarray    # [U+1] int32
+    positions: np.ndarray  # [S] int64 global genome position of k-mer start
+    strands: np.ndarray    # [S] int8 (1 if the reverse complement is canonical)
+    k: int = K
+    w: int = W
+
+    @property
+    def n_minimizers(self) -> int:
+        return int(self.positions.shape[0])
+
+
+def build_index(
+    seq_int: np.ndarray,
+    site_valid: np.ndarray,
+    k: int = K,
+    w: int = W,
+    max_occ: int = MAX_OCC,
+) -> MinimizerIndex:
+    codes = np.where(site_valid, seq_int, 4).astype(np.int8)
+    fwd, rc = kmer_codes(codes, k)
+    n = fwd.shape[0]
+    # validity: all k bases real
+    ok = np.ones(n, dtype=bool)
+    bad = np.flatnonzero(codes >= 4)
+    for off in range(k):
+        idx = bad - off
+        idx = idx[(idx >= 0) & (idx < n)]
+        ok[idx] = False
+    canonical = np.minimum(fwd, rc)
+    strand = (rc < fwd).astype(np.int8)
+    ok &= fwd != rc  # skip palindromic k-mers like minimap2
+    h = np.where(
+        ok,
+        selection_hash(canonical.astype(np.uint32) ^ (canonical >> 15).astype(np.uint32)),
+        INVALID_HASH,
+    )
+    sel = minimizer_mask(h, w) & ok
+    pos = np.flatnonzero(sel)
+    keys_all = canonical[pos].astype(np.int64)
+    order = np.argsort(keys_all, kind="stable")
+    keys_sorted = keys_all[order]
+    pos_sorted = pos[order].astype(np.int64)
+    strand_sorted = strand[pos][order]
+    uniq, start, counts = np.unique(keys_sorted, return_index=True, return_counts=True)
+    keep = counts <= max_occ
+    # compact: rebuild positions with only kept keys
+    seg_ids = np.repeat(keep, counts)
+    positions = pos_sorted[seg_ids]
+    strands = strand_sorted[seg_ids]
+    kept_counts = counts[keep]
+    offsets = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int64)
+    return MinimizerIndex(
+        keys=uniq[keep].astype(np.int64),
+        offsets=offsets,
+        positions=positions,
+        strands=strands,
+        k=k,
+        w=w,
+    )

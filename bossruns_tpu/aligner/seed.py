@@ -1,0 +1,189 @@
+"""On-device seed lookup + diagonal voting: the TPU half of the aligner.
+
+Replaces minimap2's seed-and-chain stage (the reference calls mappy's C
+implementation per read in a thread pool, /root/reference/boss/mapper.py:69-127).
+Here the whole batch is one jitted program over a padded [R, L] read matrix:
+
+  1. 2-bit pack k-mers (k shifted adds) + validity via rolling max,
+  2. 31-bit mix hash, two rolling mins (lax.reduce_window) select canonical
+     minimizers — identical (k, w, hash) scheme to the host-built index so
+     read and reference select the same minimizers,
+  3. a fixed per-read budget of minimizer slots is compacted by argsort,
+  4. binary search (searchsorted) into the sorted index keys, gather up to C
+     occurrences per minimizer -> anchors,
+  5. per-strand diagonal voting: anchors vote for their diagonal within a
+     tolerance T via per-read sorted searchsorted counts; the best anchor
+     yields (strand, predicted target start, votes); the runner-up on a
+     distinct diagonal yields a mapq-style uniqueness signal.
+
+Everything is int32 (no x64 mode needed); genomes up to 2^31 sites. The
+winning candidate window goes to the native banded-DP extension
+(native/banded_align.cpp) for a base-exact CIGAR.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .index import K, MinimizerIndex, W
+
+ANCHOR_BUDGET = 1024   # minimizer slots kept per read (A)
+OCC_CAP = 4            # index occurrences used per minimizer (C)
+DIAG_TOL = 256         # diagonal clustering tolerance (bases)
+SENTINEL = np.int32(2**31 - 2**24)  # beyond any real diagonal
+
+
+class DeviceIndex:
+    """Device-resident copy of the minimizer index (int32)."""
+
+    def __init__(self, idx: MinimizerIndex):
+        assert idx.positions.max(initial=0) < 2**31
+        self.k, self.w = idx.k, idx.w
+        self.keys = jnp.asarray(idx.keys, jnp.int32)        # 30-bit codes
+        self.offsets = jnp.asarray(idx.offsets, jnp.int32)
+        self.positions = jnp.asarray(idx.positions, jnp.int32)
+        self.strands = jnp.asarray(idx.strands, jnp.int32)
+        self.n_keys = int(idx.keys.shape[0])
+
+
+def _rolling_min(x, w):
+    init = np.asarray(np.iinfo(np.int32).max, dtype=x.dtype)
+    return jax.lax.reduce_window(x, init, jax.lax.min, (1, w), (1, 1), "valid")
+
+
+def _rolling_max(x, w):
+    init = np.asarray(np.iinfo(np.int32).min, dtype=x.dtype)
+    return jax.lax.reduce_window(x, init, jax.lax.max, (1, w), (1, 1), "valid")
+
+
+def _hash31(x):
+    """31-bit selection hash; MUST match aligner.index.selection_hash."""
+    h = x.astype(jnp.uint32)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x45D9F3B)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x45D9F3B)
+    h = h ^ (h >> 16)
+    return (h >> 1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "w"))
+def read_minimizers(reads, k: int = K, w: int = W):
+    """Canonical minimizers of a padded read matrix.
+
+    reads: [R, L] int8 codes (0..3, >=4 pad/N).
+    Returns (canonical [R, Lk] int32, strand [R, Lk] int32, is_min bool).
+    """
+    r, L = reads.shape
+    n = L - k + 1
+    c = reads.astype(jnp.int32)
+    fwd = jnp.zeros((r, n), jnp.int32)
+    rc = jnp.zeros((r, n), jnp.int32)
+    for j in range(k):
+        fwd = (fwd << 2) | (c[:, j : j + n] & 3)
+        rc = (rc << 2) | (3 - (c[:, k - 1 - j : k - 1 - j + n] & 3))
+    valid = _rolling_max(c, k) < 4
+    canonical = jnp.minimum(fwd, rc)
+    strand = (rc < fwd).astype(jnp.int32)
+    valid = valid & (fwd != rc)
+    hmax = jnp.iinfo(jnp.int32).max
+    h = jnp.where(valid, _hash31((canonical ^ (canonical >> 15)).astype(jnp.uint32)), hmax)
+    pad_hi = jnp.full((r, w - 1), hmax, jnp.int32)
+    wmin = _rolling_min(jnp.concatenate([h, pad_hi], axis=1), w)
+    m2 = _rolling_min(jnp.concatenate([pad_hi, wmin], axis=1), w)
+    is_min = valid & (h == m2)
+    return canonical, strand, is_min
+
+
+@partial(jax.jit, static_argnames=("budget",))
+def compact_minimizers(canonical, strand, is_min, budget: int = ANCHOR_BUDGET):
+    """Keep up to `budget` minimizer slots per read (position-stable)."""
+    r, n = canonical.shape
+    posidx = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
+    sort_key = jnp.where(is_min, posidx, n + posidx)
+    order = jnp.argsort(sort_key, axis=1)[:, :budget]
+    take = lambda arr: jnp.take_along_axis(arr, order, axis=1)
+    return take(canonical), take(strand), take(posidx), take(is_min)
+
+
+def _vote(keys_flat):
+    """votes[i] = #anchors within DIAG_TOL of keys_flat[i]; -1 for sentinels."""
+    sorted_keys = jnp.sort(keys_flat, axis=1)
+    lo = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(sorted_keys, keys_flat - DIAG_TOL)
+    hi = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(sorted_keys, keys_flat + DIAG_TOL)
+    return jnp.where(keys_flat < SENTINEL, hi - lo, -1)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _seed_and_vote_jit(reads, read_lens, keys, offsets, positions, strands, n_keys_arr, k: int):
+    w = W
+    canonical, strand, is_min = read_minimizers(reads, k, w)
+    ck, cs, cpos, cvalid = compact_minimizers(canonical, strand, is_min)
+    r, a = ck.shape
+    n_keys = keys.shape[0]
+
+    loc = jnp.clip(jnp.searchsorted(keys, ck), 0, n_keys - 1).astype(jnp.int32)
+    hit = cvalid & (keys[loc] == ck)
+    base = offsets[loc]
+    count = offsets[jnp.minimum(loc + 1, n_keys)] - base
+
+    occ = jnp.arange(OCC_CAP, dtype=jnp.int32)
+    occ_ok = hit[:, :, None] & (occ[None, None, :] < count[:, :, None])
+    pidx = jnp.minimum(base[:, :, None] + occ[None, None, :], positions.shape[0] - 1)
+    gpos = positions[pidx]
+    gstrand = strands[pidx]
+
+    same = gstrand == cs[:, :, None]
+    diag_f = gpos - cpos[:, :, None]
+    diag_r = gpos + cpos[:, :, None]
+    key_f = jnp.where(occ_ok & same, diag_f, SENTINEL).reshape(r, a * OCC_CAP)
+    key_r = jnp.where(occ_ok & ~same, diag_r, SENTINEL).reshape(r, a * OCC_CAP)
+
+    votes_f = _vote(key_f)
+    votes_r = _vote(key_r)
+    bf = jnp.argmax(votes_f, axis=1)
+    br = jnp.argmax(votes_r, axis=1)
+    vf = jnp.take_along_axis(votes_f, bf[:, None], axis=1)[:, 0]
+    vr = jnp.take_along_axis(votes_r, br[:, None], axis=1)[:, 0]
+    kf = jnp.take_along_axis(key_f, bf[:, None], axis=1)[:, 0]
+    kr = jnp.take_along_axis(key_r, br[:, None], axis=1)[:, 0]
+
+    rev = vr > vf
+    bvotes = jnp.maximum(vf, vr)
+    bkey = jnp.where(rev, kr, kf)
+    # runner-up: best vote count far from the winner (either strand)
+    far_f = jnp.abs(key_f - bkey[:, None]) > 2 * DIAG_TOL
+    far_r = jnp.abs(key_r - bkey[:, None]) > 2 * DIAG_TOL
+    far_f = far_f | rev[:, None]       # other strand always counts as distinct
+    far_r = far_r | (~rev[:, None])
+    second = jnp.maximum(
+        jnp.max(jnp.where(far_f, votes_f, -1), axis=1),
+        jnp.max(jnp.where(far_r, votes_r, -1), axis=1),
+    )
+
+    m = read_lens.astype(jnp.int32)
+    tstart = jnp.where(rev, bkey - (m - k), bkey)
+    return {
+        "mapped": bvotes > 0,
+        "strand": rev.astype(jnp.int32),
+        "tstart": tstart,
+        "votes": bvotes,
+        "second": jnp.maximum(second, 0),
+    }
+
+
+def seed_and_vote(reads, dev_idx: DeviceIndex, read_lens):
+    """[R, L] padded reads -> per-read best candidate dict of [R] arrays."""
+    return _seed_and_vote_jit(
+        reads,
+        read_lens,
+        dev_idx.keys,
+        dev_idx.offsets,
+        dev_idx.positions,
+        dev_idx.strands,
+        None,
+        dev_idx.k,
+    )

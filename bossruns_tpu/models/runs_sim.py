@@ -111,8 +111,8 @@ class BossRunsSim:
         self,
         ref: str,
         fq: str,
-        paf_full: str,
-        paf_trunc: str,
+        paf_full: str | None = None,
+        paf_trunc: str | None = None,
         name: str = "boss",
         batchsize: int = 4000,
         maxb: int = 400,
@@ -153,6 +153,13 @@ class BossRunsSim:
         self.sampler = Sampler(
             fq, paf_full, paf_trunc, batchsize=batchsize, maxbatch=maxb, seed=seed
         )
+        # without precomputed PAFs, align live with the TPU aligner
+        # (BASELINE config 2: exercises the seed-and-extend kernel)
+        self.aligner = None
+        if not (paf_full and paf_trunc):
+            from ..aligner import TpuAligner
+
+            self.aligner = TpuAligner(self.layout)
         self.read_cache = ReadCache(batchsize, dumptime, out_base=out_base)
         self.batch = 0
         # host copy of the strategy per contig for decision lookups
@@ -164,18 +171,16 @@ class BossRunsSim:
     def make_decisions(
         self,
         seqs: dict[str, str],
-        paf_full_txt: str,
-        paf_trunc_txt: str,
+        full: PafRecords,
+        trunc: PafRecords,
         barcodes: dict[str, int],
-    ) -> tuple[PafRecords, SimOutcome]:
+    ) -> tuple[PafRecords, PafRecords, SimOutcome]:
         """In-silico ReadUntil (runs/simulation.py:37-120).
 
-        Returns the parsed records plus which rows feed coverage (accepted
-        reads contribute their full-length alignment, rejected reads their
-        mu-sized truncated alignment) and the decided read sequences.
+        Returns the records plus which rows feed coverage (accepted reads
+        contribute their full-length alignment, rejected reads their mu-sized
+        truncated alignment) and the decided read sequences.
         """
-        full = parse_paf(paf_full_txt)
-        trunc = parse_paf(paf_trunc_txt)
         best_full = best_per_query(full)
         best_trunc = best_per_query(trunc)
 
@@ -226,7 +231,13 @@ class BossRunsSim:
     def process_batch(self) -> None:
         seqs, quals, bc_names, paf_f, paf_t = self.sampler.sample()
         read_bc = {rid: self.barcodes_index.get(bc, 0) for rid, bc in bc_names.items()}
-        full, trunc, outc = self.make_decisions(seqs, paf_f, paf_t, read_bc)
+        if self.aligner is not None:
+            full_rec = self.aligner.map_sequences(seqs)
+            trunc_rec = self.aligner.map_sequences(seqs, trunc=True)
+        else:
+            full_rec = parse_paf(paf_f)
+            trunc_rec = parse_paf(paf_t)
+        full, trunc, outc = self.make_decisions(seqs, full_rec, trunc_rec, read_bc)
         logger.info(f"mapped {outc.n_mapped}, unmapped {outc.n_unmapped}")
         logger.info(f"accepted {outc.n_accepted}, rejected {outc.n_rejected}")
 

@@ -1,0 +1,177 @@
+// Banded semi-global alignment with traceback -> CIGAR, batch API.
+//
+// Role: the host-side extension stage of the TPU aligner pipeline
+// (bossruns_tpu/aligner). Seeding + chaining run on the TPU (minimizer
+// lookup + diagonal voting); this kernel refines each read's single
+// candidate window into a base-exact alignment and emits the CIGAR that the
+// coverage converter needs. It replaces the alignment role that the
+// reference delegates to minimap2/mappy (C) — see SURVEY.md §2.2.
+//
+// Alignment model: banded edit distance (match 0 / mismatch 1 / indel 1),
+// query consumed end-to-end, free leading/trailing gaps on the target window
+// (the window is padded around the predicted diagonal). Traceback prefers
+// diagonal moves so CIGARs match the conventional M-heavy style.
+//
+// Build: make -C native   (produces libbossnative.so; ctypes-loaded from
+// bossruns_tpu/aligner/native.py)
+
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <vector>
+#include <thread>
+#include <atomic>
+
+namespace {
+
+constexpr int32_t INF = 1 << 28;
+
+struct Workspace {
+    std::vector<int32_t> prev, curr;
+    std::vector<uint8_t> trace;  // 2 bits/cell would do; use bytes for speed
+};
+
+// ops: 0 = diagonal (M), 1 = up (I: query consumed), 2 = left (D: target consumed)
+struct AlnResult {
+    int32_t cost;
+    int64_t tstart, tend;
+    int32_t n_cigar;
+};
+
+// Align query (m bases, 2-bit codes, 4=N) to target window (n bases).
+// Band: for query row i, target columns j in [center(i)-half, center(i)+half]
+// where center(i) = i + pad (expected start at offset `pad` in the window).
+// Returns cost and writes cigar ops/lens into out arrays (capacity cap).
+AlnResult banded_align(const int8_t* q, int32_t m, const int8_t* t, int32_t n,
+                       int32_t half, int32_t pad, Workspace& ws,
+                       uint32_t* cigar_out, int32_t cap) {
+    const int32_t bw = 2 * half + 1;
+    ws.prev.assign(bw, INF);
+    ws.curr.assign(bw, INF);
+    ws.trace.resize(static_cast<size_t>(m + 1) * bw);
+
+    // row 0: free leading target gap -> cost 0 at any target offset in band
+    // band coordinates: cell (i, j) stored at b = j - (i + pad - half)
+    for (int32_t b = 0; b < bw; ++b) {
+        int32_t j = b + (0 + pad - half);
+        ws.prev[b] = (j >= 0 && j <= n) ? 0 : INF;
+        ws.trace[b] = 2;
+    }
+
+    for (int32_t i = 1; i <= m; ++i) {
+        int32_t lo = i + pad - half;  // target index of band slot 0 for row i
+        uint8_t* tr = ws.trace.data() + static_cast<size_t>(i) * bw;
+        const int8_t qc = q[i - 1];
+        for (int32_t b = 0; b < bw; ++b) {
+            int32_t j = b + lo;
+            if (j < 0 || j > n) { ws.curr[b] = INF; tr[b] = 0; continue; }
+            int32_t best = INF; uint8_t op = 0;
+            // diagonal: (i-1, j-1) -> row i-1 slot j-1-(i-1+pad-half) = b
+            if (j >= 1 && ws.prev[b] < INF) {
+                int32_t sub = (qc == t[j - 1] && qc < 4) ? 0 : 1;
+                int32_t c = ws.prev[b] + sub;
+                if (c < best) { best = c; op = 0; }
+            }
+            // up (insertion to target / query-only): (i-1, j) -> slot b+1
+            if (b + 1 < bw && ws.prev[b + 1] < INF) {
+                int32_t c = ws.prev[b + 1] + 1;
+                if (c < best) { best = c; op = 1; }
+            }
+            // left (deletion from target view / target-only): (i, j-1) -> slot b-1
+            if (b >= 1 && ws.curr[b - 1] < INF) {
+                int32_t c = ws.curr[b - 1] + 1;
+                if (c < best) { best = c; op = 2; }
+            }
+            ws.curr[b] = best; tr[b] = op;
+        }
+        std::swap(ws.prev, ws.curr);
+    }
+
+    // free trailing target gap: take min over last row
+    int32_t best = INF, bestb = 0;
+    int32_t lo_m = m + pad - half;
+    for (int32_t b = 0; b < bw; ++b) {
+        int32_t j = b + lo_m;
+        if (j < 0 || j > n) continue;
+        if (ws.prev[b] < best) { best = ws.prev[b]; bestb = b; }
+    }
+    AlnResult res{best, 0, 0, 0};
+    if (best >= INF) return res;
+
+    // traceback
+    int32_t i = m, j = bestb + lo_m;
+    res.tend = j;
+    int32_t nc = 0;
+    uint32_t last_op = 255, run = 0;
+    auto push = [&](uint32_t op) {
+        if (op == last_op) { ++run; return true; }
+        if (last_op != 255) {
+            if (nc >= cap) return false;
+            cigar_out[nc++] = (run << 4) | last_op;  // htslib-style packing
+        }
+        last_op = op; run = 1; return true;
+    };
+    bool ok = true;
+    while (i > 0) {
+        int32_t b = j - (i + pad - half);
+        uint8_t op = ws.trace[static_cast<size_t>(i) * bw + b];
+        if (op == 0) { ok = push(0); --i; --j; }        // M
+        else if (op == 1) { ok = push(1); --i; }        // I (query only)
+        else { ok = push(2); --j; }                     // D (target only)
+        if (!ok) break;
+    }
+    if (ok && last_op != 255 && nc < cap) cigar_out[nc++] = (run << 4) | last_op;
+    res.tstart = j;
+    res.n_cigar = ok ? nc : 0;
+    // cigar is emitted in reverse (traceback order); caller reverses
+    return res;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batch banded alignment.
+//  queries: concatenated 2-bit codes (int8, 0..3, 4=N), offsets q_off[n+1]
+//  target: one global genome array (int8 codes)
+//  win_start/win_end: per-read candidate windows into target
+//  pad: expected query start at win_start + pad (diagonal prediction)
+//  half_band: per-read band half-width
+// Outputs per read: cost, tstart/tend (global coords), cigar ops packed
+// (len<<4 | op; op 0=M 1=I 2=D) in reverse order into cigar_buf at
+// cigar_cap*r, count in cigar_len (0 => failed/overflow).
+void banded_align_batch(const int8_t* queries, const int64_t* q_off, int32_t n,
+                        const int8_t* target, int64_t /*t_len*/,
+                        const int64_t* win_start, const int64_t* win_end,
+                        const int32_t* pad, const int32_t* half_band,
+                        int32_t n_threads,
+                        int32_t* cost, int64_t* tstart, int64_t* tend,
+                        uint32_t* cigar_buf, int32_t cigar_cap, int32_t* cigar_len) {
+    std::atomic<int32_t> next{0};
+    auto worker = [&]() {
+        Workspace ws;
+        for (;;) {
+            int32_t r = next.fetch_add(1);
+            if (r >= n) break;
+            int32_t m = static_cast<int32_t>(q_off[r + 1] - q_off[r]);
+            int64_t ws_ = win_start[r], we_ = win_end[r];
+            int32_t wn = static_cast<int32_t>(we_ - ws_);
+            if (m <= 0 || wn <= 0) { cigar_len[r] = 0; cost[r] = -1; continue; }
+            AlnResult res = banded_align(queries + q_off[r], m, target + ws_, wn,
+                                         half_band[r], pad[r], ws,
+                                         cigar_buf + static_cast<size_t>(r) * cigar_cap,
+                                         cigar_cap);
+            cost[r] = res.cost >= INF ? -1 : res.cost;
+            tstart[r] = ws_ + res.tstart;
+            tend[r] = ws_ + res.tend;
+            cigar_len[r] = res.n_cigar;
+        }
+    };
+    int32_t nt = std::max(1, n_threads);
+    std::vector<std::thread> threads;
+    for (int32_t i = 1; i < nt; ++i) threads.emplace_back(worker);
+    worker();
+    for (auto& th : threads) th.join();
+}
+
+}  // extern "C"

@@ -1,0 +1,148 @@
+"""TPU aligner: index/seeding/extension accuracy on ground-truth reads."""
+import numpy as np
+import pytest
+
+from bossruns_tpu.aligner import TpuAligner
+from bossruns_tpu.aligner.index import build_index, kmer_codes, selection_hash
+from bossruns_tpu.io.paf import alignment_coverage, best_per_query
+from bossruns_tpu.models.layout import build_layout, seq_to_int
+from bossruns_tpu.utils.datagen import random_genome, simulate_reads
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(5)
+    genome = random_genome(rng, {"gA": 180_000, "gB": 120_000})
+    reads = simulate_reads(rng, genome, 250, mean_len=5000.0)
+    lay = build_layout(genome)
+    return genome, reads, lay, TpuAligner(lay)
+
+
+def test_kmer_codes_roundtrip():
+    seq = seq_to_int("ACGTACGTACGTACGTACGT")
+    fwd, rc = kmer_codes(seq, k=15)
+    # first k-mer ACGTACGTACGTACG packs deterministically
+    expect = 0
+    for b in seq[:15]:
+        expect = (expect << 2) | int(b)
+    assert fwd[0] == expect
+    # reverse complement of position 0 equals packing the revcomp sequence
+    rc_seq = (3 - seq[:15])[::-1]
+    expect_rc = 0
+    for b in rc_seq:
+        expect_rc = (expect_rc << 2) | int(b)
+    assert rc[0] == expect_rc
+
+
+def test_index_excludes_padding(world):
+    genome, _reads, lay, al = world
+    idx = al.index
+    valid = lay.site_valid()
+    # no minimizer may start within k of padding/contig ends
+    assert valid[idx.positions].all()
+    spans_ok = idx.positions + idx.k <= lay.G_pad
+    assert spans_ok.all()
+    assert (np.diff(idx.keys) > 0).all()  # sorted unique
+    assert idx.offsets[-1] == idx.positions.shape[0]
+
+
+def test_host_device_minimizers_agree(world):
+    import jax.numpy as jnp
+
+    from bossruns_tpu.aligner.index import minimizer_mask
+    from bossruns_tpu.aligner.seed import read_minimizers
+
+    genome, _r, _l, _a = world
+    seq = seq_to_int(genome["gA"][:4000])
+    fwd, rc = kmer_codes(seq, 15)
+    canonical = np.minimum(fwd, rc)
+    ok = fwd != rc
+    h = np.where(
+        ok,
+        selection_hash(canonical.astype(np.uint32) ^ (canonical >> 15).astype(np.uint32)),
+        np.int32(2**31 - 1),
+    )
+    host_min = minimizer_mask(h, 10) & ok
+    ck, cs, is_min = read_minimizers(jnp.asarray(seq[None, :].astype(np.int8)))
+    dev_min = np.asarray(is_min)[0]
+    # interior must agree exactly (edges differ: host 'nearest' vs device pad)
+    w = 10
+    sl = slice(w, len(h) - w)
+    assert (host_min[sl] == dev_min[sl]).mean() == 1.0
+
+
+def test_alignment_accuracy(world):
+    genome, reads, lay, al = world
+    seqs = {r.rid: r.seq for r in reads}
+    rec = al.map_sequences(seqs)
+    best = best_per_query(rec)
+    truth = {r.rid: r for r in reads}
+    long_reads = [r.rid for r in reads if len(r.seq) >= 500]
+    mapped = [rid for rid in long_reads if rid in best]
+    assert len(mapped) / len(long_reads) > 0.9
+    good = 0
+    for rid in mapped:
+        i = best[rid]
+        t = truth[rid]
+        if (
+            rec.tname[i] == t.tname
+            and int(rec.rev[i]) == t.rev
+            and abs(int(rec.tstart[i]) - t.tstart) <= 40
+            and abs(int(rec.tend[i]) - t.tend) <= 40
+        ):
+            good += 1
+    assert good / len(mapped) > 0.98, (good, len(mapped))
+
+
+def test_cigar_expands_to_genome(world):
+    genome, reads, lay, al = world
+    seqs = {r.rid: r.seq for r in reads}
+    rec = al.map_sequences(seqs)
+    best = best_per_query(rec)
+    lut = np.full(256, 4, np.uint8)
+    for k, b in enumerate(b"ACGT"):
+        lut[b] = k
+    agree = []
+    for rid in list(best)[:40]:
+        i = best[rid]
+        ts, te, sym, _q = alignment_coverage(rec, i, seqs[rid], "")
+        gint = lut[np.frombuffer(genome[rec.tname[i]].encode(), np.uint8)[ts:te]]
+        agree.append((sym == gint).mean())
+    # ~3% substitutions + ~2% deletions simulated => ~95% agreement
+    assert np.mean(agree) > 0.9
+
+
+def test_truncated_mapping_five_prime_locus(world):
+    genome, reads, lay, al = world
+    seqs = {r.rid: r.seq for r in reads if len(r.seq) > 600}
+    rec = al.map_sequences(seqs, trunc=True)
+    best = best_per_query(rec)
+    truth = {r.rid: r for r in reads}
+    assert len(best) / len(seqs) > 0.85
+    ok = 0
+    for rid, i in best.items():
+        t = truth[rid]
+        if rec.tname[i] != t.tname or int(rec.rev[i]) != t.rev:
+            continue
+        if t.rev:
+            ok += abs(int(rec.tend[i]) - t.tend) <= 40
+        else:
+            ok += abs(int(rec.tstart[i]) - t.tstart) <= 40
+    assert ok / len(best) > 0.97
+
+
+def test_sim_with_live_alignment(corpus, tmp_path):
+    from bossruns_tpu.models.runs_sim import BossRunsSim
+
+    sim = BossRunsSim(
+        ref=corpus["ref"],
+        fq=corpus["fq"],
+        name="liveal",
+        batchsize=120,
+        maxb=3,
+        out_base=tmp_path,
+    )
+    assert sim.aligner is not None
+    for _ in range(3):
+        sim.process_batch()
+    assert np.asarray(sim.state.coverage).sum() > 0
