@@ -1,0 +1,145 @@
+"""All-vs-all / new-vs-pool overlap discovery on device.
+
+TPU-native replacement for the reference's minimap2 subprocess calls
+(`minimap2 -x ava-ont` and `-x map-ont -w5 -e0 -m100 -r2k`,
+/root/reference/boss/aeons/sequences.py:538-622): a minimizer index is built
+over the target pool, query sequences are seeded on device, and the top
+diagonal clusters per strand become chain-extent overlap records — the same
+approximate-coordinate PAF style minimap2 emits for ava (no base-level
+extension), which is all miniasm-class classification needs.
+"""
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..aligner import LENGTH_BUCKETS, encode
+from ..aligner.index import build_index
+from ..aligner.seed import DeviceIndex, seed_candidates
+
+logger = logging.getLogger("boss_tpu")
+
+GAP = 512  # invalid-code spacer between pool sequences (> DIAG_TOL so
+# clusters never span two sequences)
+
+
+class PoolIndex:
+    """Minimizer index over a set of pool sequences (concatenated)."""
+
+    def __init__(self, seqs: dict[str, str], k: int = 15, w: int = 10, max_occ: int = 32):
+        self.names = list(seqs)
+        enc = [encode(seqs[n]) for n in self.names]
+        self.lengths = np.array([e.shape[0] for e in enc], np.int64)
+        starts = np.concatenate([[0], np.cumsum(self.lengths + GAP)[:-1]]).astype(np.int64)
+        self.starts = starts
+        total = int((self.lengths + GAP).sum())
+        concat = np.full(total, 4, np.int8)
+        for s, e in zip(starts, enc):
+            concat[s : s + e.shape[0]] = e
+        valid = concat < 4
+        idx = build_index(np.where(valid, concat, 0).astype(np.uint8), valid, k=k, w=w, max_occ=max_occ)
+        self.dev = DeviceIndex(idx)
+        self.k = k
+
+    def locate(self, gpos: int) -> int:
+        """Global concat position -> sequence index."""
+        return int(np.searchsorted(self.starts, gpos, side="right") - 1)
+
+
+def _bucketize(enc: list[np.ndarray]):
+    order = np.argsort([e.shape[0] for e in enc], kind="stable")
+    groups = []
+    i = 0
+    while i < len(order):
+        ln = enc[order[i]].shape[0]
+        b = next((x for x in LENGTH_BUCKETS if ln <= x), LENGTH_BUCKETS[-1])
+        group = []
+        while i < len(order):
+            ln = enc[order[i]].shape[0]
+            bb = next((x for x in LENGTH_BUCKETS if ln <= x), LENGTH_BUCKETS[-1])
+            if bb != b or len(group) >= 2048:
+                break
+            group.append(int(order[i]))
+            i += 1
+        groups.append((b, group))
+    return groups
+
+
+def find_overlaps(
+    queries: dict[str, str],
+    pool_index: PoolIndex,
+    min_votes: int = 4,
+    ncand: int = 4,
+    exclude_self: bool = True,
+):
+    """Seed queries against the pool; yield overlap candidate rows.
+
+    Returns dict of columnar arrays (qname/qlen/qstart/qend/rev/tname/tlen/
+    tstart/tend/nmatch/blocklen/s1) with approximate chain-extent coords.
+    """
+    import jax.numpy as jnp
+
+    qnames = list(queries)
+    enc = [encode(queries[q]) for q in qnames]
+    rows: dict[str, list] = {k: [] for k in (
+        "qname qlen qstart qend rev tname tlen tstart tend nmatch blocklen s1".split()
+    )}
+    k = pool_index.k
+    for L, group in _bucketize(enc):
+        mat = np.full((len(group), L), 4, np.int8)
+        for r, g in enumerate(group):
+            mat[r, : min(enc[g].shape[0], L)] = enc[g][:L]
+        cands = seed_candidates(jnp.asarray(mat), pool_index.dev, ncand=ncand)
+        nc = cands["votes"].shape[1]
+        for r, g in enumerate(group):
+            qname = qnames[g]
+            qlen = int(enc[g].shape[0])
+            for ci in range(nc):
+                votes = int(cands["votes"][r, ci])
+                if votes < min_votes:
+                    continue
+                tmin, tmax = int(cands["tmin"][r, ci]), int(cands["tmax"][r, ci]) + k
+                qmin, qmax = int(cands["qmin"][r, ci]), int(cands["qmax"][r, ci]) + k
+                tid = pool_index.locate(tmin)
+                tname = pool_index.names[tid]
+                if exclude_self and tname == qname:
+                    continue
+                t0 = int(pool_index.starts[tid])
+                tl = int(pool_index.lengths[tid])
+                ts, te = tmin - t0, min(tmax - t0, tl)
+                if te <= ts:
+                    continue
+                rev = int(cands["strand"][r, ci])
+                qs, qe = qmin, min(qmax, qlen)
+                span = min(qe - qs, te - ts)
+                rows["qname"].append(qname)
+                rows["qlen"].append(qlen)
+                rows["qstart"].append(qs)
+                rows["qend"].append(qe)
+                rows["rev"].append(rev)
+                rows["tname"].append(tname)
+                rows["tlen"].append(tl)
+                rows["tstart"].append(ts)
+                rows["tend"].append(te)
+                rows["nmatch"].append(min(votes * k, span))
+                rows["blocklen"].append(max(qe - qs, te - ts))
+                rows["s1"].append(min(votes * k, span))
+    return rows
+
+
+def rows_to_records(rows: dict[str, list]):
+    from ..io.paf import PafRecords
+
+    n = len(rows["qname"])
+    arr = lambda key, dt: np.array(rows[key], dtype=dt)
+    return PafRecords(
+        qname=arr("qname", object), qlen=arr("qlen", np.int64),
+        qstart=arr("qstart", np.int64), qend=arr("qend", np.int64),
+        rev=arr("rev", np.int8), tname=arr("tname", object),
+        tlen=arr("tlen", np.int64), tstart=arr("tstart", np.int64),
+        tend=arr("tend", np.int64), nmatch=arr("nmatch", np.int64),
+        blocklen=arr("blocklen", np.int64), mapq=np.zeros(n, np.int64),
+        align_score=arr("s1", np.int64), s1=arr("s1", np.int64),
+        primary=np.ones(n, np.int8), cigars=[None] * n,
+    )

@@ -109,17 +109,17 @@ def compact_minimizers(canonical, strand, is_min, budget: int = ANCHOR_BUDGET):
     return take(canonical), take(strand), take(posidx), take(is_min)
 
 
-def _vote(keys_flat):
-    """votes[i] = #anchors within DIAG_TOL of keys_flat[i]; -1 for sentinels."""
+def _vote(keys_flat, tol=DIAG_TOL):
+    """votes[i] = #anchors within tol of keys_flat[i]; -1 for sentinels."""
     sorted_keys = jnp.sort(keys_flat, axis=1)
-    lo = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(sorted_keys, keys_flat - DIAG_TOL)
-    hi = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(sorted_keys, keys_flat + DIAG_TOL)
+    lo = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(sorted_keys, keys_flat - tol)
+    hi = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(sorted_keys, keys_flat + tol)
     return jnp.where(keys_flat < SENTINEL, hi - lo, -1)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _seed_and_vote_jit(reads, read_lens, keys, offsets, positions, strands, n_keys_arr, k: int):
-    w = W
+@partial(jax.jit, static_argnames=("k", "w"))
+def _seed_and_vote_jit(reads, read_lens, keys, offsets, positions, strands, n_keys_arr,
+                       k: int, w: int = W):
     canonical, strand, is_min = read_minimizers(reads, k, w)
     ck, cs, cpos, cvalid = compact_minimizers(canonical, strand, is_min)
     r, a = ck.shape
@@ -186,4 +186,81 @@ def seed_and_vote(reads, dev_idx: DeviceIndex, read_lens):
         dev_idx.strands,
         None,
         dev_idx.k,
+        dev_idx.w,
     )
+
+
+@partial(jax.jit, static_argnames=("k", "ncand", "tol", "w"))
+def _seed_candidates_jit(reads, keys, offsets, positions, strands, k: int, ncand: int,
+                         tol: int = DIAG_TOL, w: int = W):
+    """Multi-candidate seeding for all-vs-all overlap discovery (AEONS).
+
+    Returns per read, per candidate [R, 2*ncand] arrays: votes, strand,
+    qmin/qmax (read k-mer span), tmin/tmax (target span). Candidates are the
+    top-voted diagonal clusters per strand space (minimap2-ava style chain
+    extents without base-level extension).
+    """
+    canonical, strand, is_min = read_minimizers(reads, k, w)
+    ck, cs, cpos, cvalid = compact_minimizers(canonical, strand, is_min)
+    r, a = ck.shape
+    n_keys = keys.shape[0]
+
+    loc = jnp.clip(jnp.searchsorted(keys, ck), 0, n_keys - 1).astype(jnp.int32)
+    hit = cvalid & (keys[loc] == ck)
+    base = offsets[loc]
+    count = offsets[jnp.minimum(loc + 1, n_keys)] - base
+
+    occ = jnp.arange(OCC_CAP, dtype=jnp.int32)
+    occ_ok = hit[:, :, None] & (occ[None, None, :] < count[:, :, None])
+    pidx = jnp.minimum(base[:, :, None] + occ[None, None, :], positions.shape[0] - 1)
+    gpos = positions[pidx]
+    gstrand = strands[pidx]
+
+    same = gstrand == cs[:, :, None]
+    diag_f = gpos - cpos[:, :, None]
+    diag_r = gpos + cpos[:, :, None]
+    rp = jnp.broadcast_to(cpos[:, :, None], (r, a, OCC_CAP)).reshape(r, a * OCC_CAP)
+    gp = gpos.reshape(r, a * OCC_CAP)
+
+    big = jnp.int32(1 << 30)
+    results = []
+    for strand_space, key0 in ((0, jnp.where(occ_ok & same, diag_f, SENTINEL)),
+                               (1, jnp.where(occ_ok & ~same, diag_r, SENTINEL))):
+        keys_flat = key0.reshape(r, a * OCC_CAP)
+        votes = _vote(keys_flat, tol)
+        v = votes
+        for _ in range(ncand):
+            best = jnp.argmax(v, axis=1)
+            bkey = jnp.take_along_axis(keys_flat, best[:, None], axis=1)[:, 0]
+            bvote = jnp.take_along_axis(v, best[:, None], axis=1)[:, 0]
+            cluster = (jnp.abs(keys_flat - bkey[:, None]) <= tol) & (keys_flat < SENTINEL)
+            qmin = jnp.min(jnp.where(cluster, rp, big), axis=1)
+            qmax = jnp.max(jnp.where(cluster, rp, -big), axis=1)
+            tmin = jnp.min(jnp.where(cluster, gp, big), axis=1)
+            tmax = jnp.max(jnp.where(cluster, gp, -big), axis=1)
+            results.append((bvote, jnp.full_like(bvote, strand_space), qmin, qmax, tmin, tmax))
+            v = jnp.where(jnp.abs(keys_flat - bkey[:, None]) <= 2 * tol, -1, v)
+    stack = lambda i: jnp.stack([res[i] for res in results], axis=1)
+    return {
+        "votes": stack(0),
+        "strand": stack(1),
+        "qmin": stack(2),
+        "qmax": stack(3),
+        "tmin": stack(4),
+        "tmax": stack(5),
+    }
+
+
+def seed_candidates(reads, dev_idx: DeviceIndex, ncand: int = 4, tol: int | None = None):
+    """[R, L] padded reads -> top diagonal clusters per strand space.
+
+    tol: diagonal clustering tolerance; long sequences accumulate indel
+    drift ~1% of their length, so callers scale it with read length.
+    """
+    if tol is None:
+        tol = max(DIAG_TOL, reads.shape[1] // 32)
+    out = _seed_candidates_jit(
+        reads, dev_idx.keys, dev_idx.offsets, dev_idx.positions, dev_idx.strands,
+        dev_idx.k, ncand, int(tol), dev_idx.w,
+    )
+    return {k_: np.asarray(v) for k_, v in out.items()}

@@ -1,0 +1,206 @@
+"""BOSS-AEONS: kmer stats, classification, assembly, benefit, end-to-end sim."""
+import numpy as np
+import pytest
+
+from bossruns_tpu.aeons import kmer
+from bossruns_tpu.aeons.assembly import initial_assembly
+from bossruns_tpu.aeons.ava import PoolIndex, find_overlaps, rows_to_records
+from bossruns_tpu.aeons.benefit import contig_strategies
+from bossruns_tpu.aeons.classify import classify
+from bossruns_tpu.aeons.pool import LinkStore, Sequence, SequencePool
+from bossruns_tpu.config import BossConfig
+from bossruns_tpu.utils.datagen import random_genome, simulate_reads
+
+
+# ---------------------------------------------------------------- kmer ------
+
+def test_kmer_counts_include_revcomp():
+    # AAAA counted together with TTTT (seq + revcomp, kmer.py:54-68)
+    counts = kmer.kmer_counts("AAAAA", 4)
+    idx_aaaa = 0
+    idx_tttt = 0b11111111
+    assert counts[idx_aaaa] == 2
+    assert counts[idx_tttt] == 2
+
+
+def test_tetramer_distance_separates_composition(rng):
+    a1 = "".join(rng.choice(list("AACGT"), 5000))  # A-rich
+    a2 = "".join(rng.choice(list("AACGT"), 5000))
+    b = "".join(rng.choice(list("GGGCT"), 5000))   # G-rich
+    fa1, fa2, fb = map(kmer.tetramer_freqs, (a1, a2, b))
+    assert kmer.euclidean_dist(fa1, fa2) < kmer.euclidean_dist(fa1, fb)
+    assert kmer.is_intra(fa1, fa2)
+    assert not kmer.is_intra(fa1, fb)
+
+
+def test_tetramer_zscores_shape():
+    z = kmer.tetramer_zscores("ACGT" * 2000)
+    assert z.shape == (256,)
+    assert np.isfinite(z).all()
+
+
+# ------------------------------------------------------------- classify -----
+
+def _mk_records(rows):
+    from bossruns_tpu.io.paf import PafRecords
+
+    keys = "qname qlen qstart qend rev tname tlen tstart tend".split()
+    cols = {k: [r[j] for r in rows] for j, k in enumerate(keys)}
+    n = len(rows)
+    big = [20_000] * n
+    return PafRecords(
+        qname=np.array(cols["qname"], object), qlen=np.array(cols["qlen"]),
+        qstart=np.array(cols["qstart"]), qend=np.array(cols["qend"]),
+        rev=np.array(cols["rev"], np.int8), tname=np.array(cols["tname"], object),
+        tlen=np.array(cols["tlen"]), tstart=np.array(cols["tstart"]),
+        tend=np.array(cols["tend"]), nmatch=np.array(big), blocklen=np.array(big),
+        mapq=np.zeros(n, np.int64), align_score=np.array(big), s1=np.array(big),
+        primary=np.ones(n, np.int8), cigars=[None] * n,
+    )
+
+
+def test_classification_cases():
+    rows = [
+        # q contained in t (fwd): small overhangs into a bigger target
+        ("a", 5000, 10, 4990, 0, "b", 20000, 8000, 13000, 0),
+        # t contained in q
+        ("c", 20000, 8000, 13000, 0, "d", 5000, 10, 4990, 0),
+        # dovetail fwd: q suffix ~ t prefix => 4, R, L
+        ("e", 10000, 4000, 9990, 0, "f", 10000, 5, 6000, 0),
+        # internal match: big overhangs both sides
+        ("g", 20000, 8000, 11000, 0, "h", 20000, 9000, 12000, 0),
+        # self alignment filtered
+        ("i", 9000, 0, 9000, 0, "i", 9000, 0, 9000, 0),
+    ]
+    cls = classify(_mk_records(rows))
+    assert cls.c[0] == 2
+    assert cls.c[1] == 3
+    assert cls.c[2] == 4 and cls.qside[2] == "R" and cls.tside[2] == "L"
+    assert cls.c[3] in (1, 6)
+    assert cls.c[4] == 0
+
+
+# -------------------------------------------------------------- assembly ----
+
+@pytest.fixture(scope="module")
+def asm_world():
+    rng = np.random.default_rng(9)
+    genome = random_genome(rng, {"g": 80_000})
+    reads = simulate_reads(rng, genome, 220, mean_len=6000.0, min_len=1000)
+    seqs = {r.rid: r.seq for r in reads}
+    pool = initial_assembly(seqs, min_seq_len=2500)
+    return genome, reads, pool
+
+
+def test_assembly_produces_long_contigs(asm_world):
+    genome, reads, pool = asm_world
+    lens = sorted((len(s.seq) for s in pool.sequences.values()), reverse=True)
+    assert lens[0] > 15_000  # merges happened
+    assert sum(lens) < 2.0 * len(genome["g"])  # no runaway duplication
+
+
+def test_assembly_contigs_map_back_contiguously(asm_world):
+    genome, reads, pool = asm_world
+    pidx = PoolIndex({"g": genome["g"]})
+    longest = {
+        h: s.seq
+        for h, s in sorted(pool.sequences.items(), key=lambda kv: -len(kv[1].seq))[:3]
+    }
+    rows = find_overlaps(longest, pidx, min_votes=4, exclude_self=False)
+    best = {}
+    for i in range(len(rows["qname"])):
+        q = rows["qname"][i]
+        cov = (rows["qend"][i] - rows["qstart"][i]) / len(longest[q])
+        best[q] = max(best.get(q, 0.0), cov)
+    # every long unitig aligns to the genome as (mostly) one chain
+    assert all(v > 0.6 for v in best.values()), best
+
+
+def test_containment_increment_dag():
+    pool = SequencePool(min_len=10)
+    pool.sequences["big"] = Sequence("big", "A" * 1000)
+    pool.sequences["mid"] = Sequence("mid", "A" * 500)
+    pool.sequences["small"] = Sequence("small", "A" * 200)
+    rows = [
+        # small contained in mid (q cont), mid contained in big
+        ("small", 200, 0, 200, 0, "mid", 500, 100, 300, 0),
+        ("mid", 500, 0, 500, 0, "big", 1000, 200, 700, 0),
+    ]
+    rec = _mk_records(rows)
+    containments = {
+        ("small", "mid"): (rec, 0, True),
+        ("mid", "big"): (rec, 1, True),
+    }
+    contained = pool.increment(containments)
+    assert contained == {"small", "mid"}
+    big = pool.sequences["big"].cov
+    # chain: small's coverage flowed into mid (processed first), then mid+small
+    # into big
+    # big[200+x] corresponds to mid[x]; small covered mid[100:300]
+    assert big[450] == 3.0  # big(1) + mid(1) + small(1)
+    assert big[600] == 2.0  # big(1) + mid(1)
+    assert big[100] == 1.0
+
+
+def test_contig_strategies_shapes_and_threshold():
+    rng = np.random.default_rng(0)
+    contigs = {}
+    for name, L in (("c1", 30_000), ("c2", 12_345)):
+        s = Sequence(name, "A" * L)
+        s.cov = rng.uniform(0, 30, L).astype(np.float32)
+        contigs[name] = s
+    ccl = np.array([20000, 14000, 10000, 7000, 5000, 3500, 2500, 1700, 900, 300])
+    strats, thr = contig_strategies(contigs, ccl=ccl, lam=6000.0, lowcov=10)
+    assert strats["c1"].shape == (300, 2)
+    assert strats["c2"].shape == (124, 2)
+    assert thr > 0
+    frac = np.mean([s.mean() for s in strats.values()])
+    assert 0.0 < frac <= 1.0
+
+
+def test_uncapped_low_coverage_ends_are_kept(rng):
+    # high coverage everywhere except the uncapped ends -> ends accepted
+    s = Sequence("c", "A" * 40_000)
+    s.cov = np.full(40_000, 60.0, np.float32)
+    s.cov[:600] = 1.0
+    s.cov[-600:] = 1.0
+    ccl = np.array([20000, 14000, 10000, 7000, 5000, 3500, 2500, 1700, 900, 300])
+    strats, thr = contig_strategies({"c": s}, ccl=ccl, lam=6000.0, lowcov=10)
+    st = strats["c"]
+    assert st[0, 0] or st[0, 1]      # left end interesting
+    assert st[-1, 0] or st[-1, 1]    # right end interesting
+    assert st.mean() < 0.9           # bulk rejected
+
+
+# ------------------------------------------------------------ end-to-end ----
+
+def test_aeons_sim_end_to_end(tmp_path, monkeypatch):
+    from bossruns_tpu.aeons.simulation import BossAeonsSim
+    from bossruns_tpu.utils.datagen import write_corpus
+
+    monkeypatch.chdir(tmp_path)
+    paths = write_corpus(
+        tmp_path / "data",
+        rng=np.random.default_rng(21),
+        contig_lengths={"gA": 100_000},
+        n_reads=1300,
+        mean_len=5000.0,
+    )
+    args = BossConfig()
+    args.general.name = "aeons_t"
+    args.simulation.fq = paths["fq"]
+    args.simulation.batchsize = 140
+    args.simulation.maxb = 3
+    args.simulation.binit = 4
+    args.optional.min_seq_len = 2500
+    args.optional.min_contig_len = 10_000
+    sim = BossAeonsSim(args, out_base=tmp_path)
+    init_longest = max(len(s.seq) for s in sim.pool.sequences.values())
+    assert init_longest > 10_000
+    for _ in range(3):
+        sim.process_batch()
+    assert (tmp_path / "out_aeons_t" / "masks" / "boss.npz").exists()
+    assert (tmp_path / "out_aeons_t" / "contigs" / "aeons.fa").exists()
+    assert sim.strat  # strategies exist
+    assert sim.accept_count + sim.reject_count > 0  # decisions engaged
+    assert sim.read_cache.time_boss <= sim.read_cache.time_control
