@@ -92,7 +92,7 @@ def main():
 
     # -- CPU f64 baseline (one step, same pipeline) -------------------------
     st_np = {
-        "coverage": np.zeros((1, layout.G_pad, 5), np.int32),
+        "coverage": np.zeros((1, 5, layout.G_pad), np.int32),
         "zeroed": np.zeros((1, layout.G_pad), bool),
         "bucket_on": np.zeros((1, layout.NBk_pad), bool),
         "read_starts": np.zeros((layout.Wf_pad, 2)),

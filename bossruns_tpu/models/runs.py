@@ -35,12 +35,12 @@ import numpy as np
 
 from ..ops import genome_ops as gops
 from ..ops.model import ObservationModel, make_model
-from ..ops.scores import ScoreTables, site_scores
+from ..ops.scores import ScoreTables, site_scores_t
 from .layout import BUCKET, DS, GenomeLayout
 
 
 class GenomeState(NamedTuple):
-    coverage: jax.Array      # [NB, G_pad, 5] int32
+    coverage: jax.Array      # [NB, 5, G_pad] int32 (genome-on-lanes layout)
     zeroed: jax.Array        # [NB, G_pad] bool — sticky dropout zeros
     bucket_on: jax.Array     # [NB, NBk_pad] bool — sticky activation switches
     read_starts: jax.Array   # [Wf_pad, 2] f32 — accumulated start counts
@@ -106,6 +106,9 @@ class RunsEngine:
 
         lay = layout
         self.nb = lay.n_barcodes
+        # flat scatter indices are int32; beyond this, shard the genome axis
+        # (parallel/mesh.py) so per-shard indices stay in range
+        assert lay.n_barcodes * lay.G_pad * 5 < 2**31, "genome too large for single-chip int32 scatter; shard it"
         # device constants
         self.c_seq = jnp.asarray(lay.seq_int, jnp.int32)
         self.c_site_valid = jnp.asarray(lay.site_valid())
@@ -132,7 +135,7 @@ class RunsEngine:
             self.c_strat_valid[None, :, None], (self.nb, lay.Gd_pad, 2)
         )
         return GenomeState(
-            coverage=jnp.zeros((self.nb, lay.G_pad, 5), jnp.int32),
+            coverage=jnp.zeros((self.nb, 5, lay.G_pad), jnp.int32),
             zeroed=jnp.zeros((self.nb, lay.G_pad), bool),
             bucket_on=jnp.zeros((self.nb, lay.NBk_pad), bool),
             read_starts=jnp.zeros((lay.Wf_pad, 2), self.dtype),
@@ -144,7 +147,7 @@ class RunsEngine:
     def _step(self, state: GenomeState, batch: ReadBatch, params: StepParams):
         cfg = self.config
         dtype = self.dtype
-        nb, G = state.coverage.shape[0], state.coverage.shape[1]
+        nb, G = state.coverage.shape[0], state.coverage.shape[2]
         Gd = G // DS
 
         # -- 1. coverage increments ------------------------------------------
@@ -153,35 +156,43 @@ class RunsEngine:
             # deletion observations are ignored entirely in the 4-symbol model
             # (sequences.py:417-418 zeroes the deletion column)
             w = jnp.where(batch.cov_sym == 4, 0.0, w)
-        inc = jnp.zeros((nb, G, 5), jnp.int32)
-        inc = gops.scatter_add_3d(inc, batch.cov_bc, batch.cov_pos, batch.cov_sym, w)
+        # single flat-index scatter: the multi-index-array form lowers to a
+        # ~1000x slower XLA scatter path on TPU (see bench notes)
+        flat = (batch.cov_bc * 5 + batch.cov_sym) * G + batch.cov_pos
+        inc = (
+            jnp.zeros(nb * 5 * G, jnp.int32)
+            .at[flat]
+            .add(w.astype(jnp.int32), mode="drop")
+            .reshape(nb, 5, G)
+        )
         coverage = state.coverage + inc
         # change flag per site: any barcode/symbol touched (reference.py:142
         # flags whole rows of the change mask)
-        changed_site = jnp.any(inc != 0, axis=(0, 2))  # [G]
+        changed_site = jnp.any(inc != 0, axis=(0, 1))  # [G]
 
-        covsum = jnp.sum(coverage, axis=2)  # [NB, G] int32
+        covsum = jnp.sum(coverage, axis=1)  # [NB, G] int32
         covsum_f = covsum.astype(dtype)
 
         # -- 2. scores -------------------------------------------------------
-        fresh, _entropy = site_scores(coverage, self.c_seq, self.tables)  # [NB, G]
+        fresh, _entropy = site_scores_t(coverage, self.c_seq, self.tables)  # [NB, G]
         maxed = covsum >= cfg.freeze_cov
         scores = jnp.where(self.c_site_valid[None, :], fresh, 0.0)
         scores = jnp.where(maxed, self.tiny, scores)
 
-        # dropout: per-contig mean coverage over sites and barcodes
+        # dropout: per-contig mean coverage over sites and barcodes; thresholds
+        # expand from ds resolution (a [G]-sized gather costs ~90ms on TPU)
         covsum_ds = jnp.sum(covsum_f.reshape(nb, Gd, DS), axis=2)  # [NB, Gd]
         per_contig = jnp.zeros(self.layout.n_contigs + 1, dtype).at[self.c_contig_id_ds].add(
             jnp.sum(covsum_ds, axis=0)
         )
         contig_mean = per_contig / self.c_contig_denom  # [C+1]
-        thr = jnp.floor(contig_mean / cfg.dropout_mod)
-        active = contig_mean > cfg.dropout_min_mean
-        site_cid = self.c_contig_id_ds[jnp.arange(G, dtype=jnp.int32) // DS]  # [G]
-        site_thr = thr[site_cid]
-        site_active = active[site_cid] & self.c_site_valid
-        drop_now = site_active[None, :] & jnp.any(covsum_f <= site_thr[None, :], axis=0)[None, :]
-        drop_now = jnp.broadcast_to(drop_now, (nb, G))
+        thr_ds = jnp.floor(contig_mean / cfg.dropout_mod)[self.c_contig_id_ds]  # [Gd]
+        active_ds = (contig_mean > cfg.dropout_min_mean)[self.c_contig_id_ds]   # [Gd]
+        low = jnp.any(
+            covsum_f.reshape(nb, Gd, DS) <= thr_ds[None, :, None], axis=0
+        )  # [Gd, DS]
+        drop_site = (low & active_ds[:, None]).reshape(G) & self.c_site_valid
+        drop_now = jnp.broadcast_to(drop_site[None, :], (nb, G))
 
         # sticky zeroing: a previously zeroed site stays zero until it changes
         # while unfrozen (the reference only recomputes changed sites)

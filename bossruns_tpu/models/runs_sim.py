@@ -20,6 +20,7 @@ from ..io import coo as coo_mod
 from ..io.fastq import read_fastx
 from ..io.paf import PafRecords, best_per_query, parse_paf
 from ..io.sampler import Sampler
+from ..utils.checkpoint import MetricsWriter, load_checkpoint, save_checkpoint
 from ..utils.misc import make_output_dirs, random_id, write_strategy_npz
 from ..utils.readlen import ReadLengthDist
 from .layout import DS, GenomeLayout, build_layout
@@ -125,6 +126,7 @@ class BossRunsSim:
         seed: int = 1,
         config: RunsConfig | None = None,
         min_contig_len: int = 100_000,
+        resume: bool = False,
     ):
         self.name = name
         self.out_dir = make_output_dirs(name, out_base)
@@ -162,6 +164,20 @@ class BossRunsSim:
             self.aligner = TpuAligner(self.layout)
         self.read_cache = ReadCache(batchsize, dumptime, out_base=out_base)
         self.batch = 0
+        self.metrics = MetricsWriter(self.out_dir)
+        self.checkpoint_every = 10
+        if resume:
+            restored = load_checkpoint(self.out_dir, type(self.state))
+            if restored is not None:
+                self.state, host, extra = restored
+                self.batch = int(host.get("batch", 0))
+                self.read_cache.time_boss = int(host.get("time_boss", 0))
+                self.read_cache.time_control = int(host.get("time_control", 0))
+                self.rl_dist.hist = extra.get("rl_hist", self.rl_dist.hist)
+                self.rl_dist.update([])  # refresh lambda / ccl from histogram
+                # skip already-consumed batches in the sampler
+                self.sampler.fq_stream.offsets = self.sampler.fq_stream.offsets[self.batch:]
+                logger.info(f"resumed at batch {self.batch}")
         # host copy of the strategy per contig for decision lookups
         self.strat_host = self.engine.strat_dict(self.state)
         write_strategy_npz(self.out_dir, self.strat_host)
@@ -287,6 +303,29 @@ class BossRunsSim:
             seqs, outc.reads_decision, bc_names if len(self.barcodes_index) > 1 else None
         )
         self.batch += 1
+        self.metrics.write(
+            batch=self.batch,
+            n_mapped=outc.n_mapped,
+            n_accepted=outc.n_accepted,
+            n_rejected=outc.n_rejected,
+            updated=bool(aux.updated),
+            threshold=float(aux.threshold),
+            mean_coverage=float(aux.mean_coverage),
+            time_boss=self.read_cache.time_boss,
+            time_control=self.read_cache.time_control,
+            lam=self.rl_dist.lam,
+        )
+        if self.checkpoint_every and self.batch % self.checkpoint_every == 0:
+            save_checkpoint(
+                self.out_dir,
+                self.state,
+                dict(
+                    batch=self.batch,
+                    time_boss=self.read_cache.time_boss,
+                    time_control=self.read_cache.time_control,
+                ),
+                extra_arrays={"rl_hist": self.rl_dist.hist},
+            )
 
     def run(self, maxb: int | None = None) -> None:
         for _ in range(maxb or self.maxb):

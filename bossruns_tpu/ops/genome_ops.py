@@ -47,24 +47,41 @@ def _csum(x):
     return jnp.concatenate([zero, cs], axis=-1)
 
 
-def windowed_sums_fwd(cs, w, seg_end, rows):
+def windowed_sums_fwd(cs, w, seg_end, rows, cs_at_seg_end=None):
     """out[..., r] = sum(x[r : min(r+w, seg_end[r])]).
 
     cs: exclusive cumsum of x ([..., N+1]); w: traced scalar window;
     seg_end: [N] exclusive segment bound; rows: [N] iota.
     Equals bn.move_sum(x[::-1], w, min_count=1)[::-1] per segment.
+
+    Implemented as a dynamic shift (cs[r+w]) corrected at segment boundaries
+    with a static gather (cs[seg_end]) — traced-index gathers over the whole
+    axis are ~20x slower on TPU than dynamic_slice.
     """
-    hi = jnp.minimum(rows + w, seg_end)
-    return jnp.take(cs, hi, axis=-1) - jnp.take(cs, rows, axis=-1)
+    n = rows.shape[0]
+    pad = jnp.broadcast_to(cs[..., -1:], cs.shape[:-1] + (n,))
+    cs2 = jnp.concatenate([cs, pad], axis=-1)
+    shifted = jax.lax.dynamic_slice_in_dim(cs2, w, n, axis=-1)  # cs[r+w]
+    if cs_at_seg_end is None:
+        cs_at_seg_end = jnp.take(cs, seg_end, axis=-1)
+    hi = jnp.where(rows + w <= seg_end, shifted, cs_at_seg_end)
+    return hi - cs[..., :n]
 
 
-def windowed_sums_rev(cs, w, seg_start, rows):
+def windowed_sums_rev(cs, w, seg_start, rows, cs_at_seg_start=None):
     """out[..., r] = sum(x[max(r+1-w, seg_start[r]) : r+1]).
 
     Equals bn.move_sum(x, w, min_count=1) per segment.
     """
-    lo = jnp.maximum(rows + 1 - w, seg_start)
-    return jnp.take(cs, rows + 1, axis=-1) - jnp.take(cs, lo, axis=-1)
+    n = rows.shape[0]
+    pad = jnp.zeros(cs.shape[:-1] + (n,), cs.dtype)
+    cs2 = jnp.concatenate([pad, cs], axis=-1)
+    # cs[r+1-w] = cs2[n + r + 1 - w]
+    shifted = jax.lax.dynamic_slice_in_dim(cs2, n + 1 - w, n, axis=-1)
+    if cs_at_seg_start is None:
+        cs_at_seg_start = jnp.take(cs, seg_start, axis=-1)
+    lo = jnp.where(rows + 1 - w >= seg_start, shifted, cs_at_seg_start)
+    return cs[..., 1 : n + 1] - lo
 
 
 def expected_benefit(scores_ds, approx_ccl_ds, seg_start, seg_end, mu_ds: int = 4):
@@ -76,8 +93,10 @@ def expected_benefit(scores_ds, approx_ccl_ds, seg_start, seg_end, mu_ds: int = 
     n = scores_ds.shape[-1]
     rows = jnp.arange(n, dtype=jnp.int32)
     cs = _csum(scores_ds)
-    smu_f = windowed_sums_fwd(cs, mu_ds, seg_end, rows)
-    smu_r = windowed_sums_rev(cs, mu_ds, seg_start, rows)
+    cs_end = jnp.take(cs, seg_end, axis=-1)      # static-index gathers, once
+    cs_start = jnp.take(cs, seg_start, axis=-1)
+    smu_f = windowed_sums_fwd(cs, mu_ds, seg_end, rows, cs_end)
+    smu_r = windowed_sums_rev(cs, mu_ds, seg_start, rows, cs_start)
     smu = jnp.stack([smu_f, smu_r], axis=-1)
 
     weights = jnp.arange(0.05, 1.0, 0.1, dtype=cs.dtype)[::-1]
@@ -85,8 +104,8 @@ def expected_benefit(scores_ds, approx_ccl_ds, seg_start, seg_end, mu_ds: int = 
     ebr = jnp.zeros_like(smu_r)
     for i in range(10):
         w = jnp.maximum(approx_ccl_ds[i], 1)
-        ebf = ebf + weights[i] * windowed_sums_fwd(cs, w, seg_end, rows)
-        ebr = ebr + weights[i] * windowed_sums_rev(cs, w, seg_start, rows)
+        ebf = ebf + weights[i] * windowed_sums_fwd(cs, w, seg_end, rows, cs_end)
+        ebr = ebr + weights[i] * windowed_sums_rev(cs, w, seg_start, rows, cs_start)
     eb = jnp.stack([ebf, ebr], axis=-1)
     return smu, jnp.maximum(eb - smu, 0.0)
 
@@ -103,10 +122,17 @@ def fhat_pointmass(read_starts, row_valid, n_windows: int, alpha: float = 1.0, p
     dtype = read_starts.dtype
     csum = jnp.sum(read_starts)
     denom = 2.0 * n_windows * alpha + csum
-    beta_num = jnp.exp(jax.scipy.special.betaln(alpha, (2.0 * n_windows - 1.0) * alpha + csum))
-    beta_denom = jnp.exp(
-        jax.scipy.special.betaln(jnp.asarray(alpha, dtype), (2.0 * n_windows - 1.0) * alpha)
-    )
+    if alpha == 1.0:
+        # B(1, z) = 1/z — the scalar lgamma lowering costs ~5ms/call on TPU
+        beta_num = 1.0 / ((2.0 * n_windows - 1.0) + csum)
+        beta_denom = jnp.asarray(1.0 / (2.0 * n_windows - 1.0), dtype)
+    else:
+        beta_num = jnp.exp(
+            jax.scipy.special.betaln(alpha, (2.0 * n_windows - 1.0) * alpha + csum)
+        )
+        beta_denom = jnp.exp(
+            jax.scipy.special.betaln(jnp.asarray(alpha, dtype), (2.0 * n_windows - 1.0) * alpha)
+        )
     beta_denom = jnp.where(beta_denom == 0, 1e-20, beta_denom)
     p0_bit = p0 / (p0 + (1.0 - p0))
     expected_post = (1.0 - p0_bit * (beta_num / beta_denom)) * (alpha / denom)

@@ -83,3 +83,25 @@ def prior_score(model: ObservationModel, dtype=jnp.float64) -> tuple[float, floa
     r = jnp.zeros((1,), jnp.int32)
     s, e = site_scores(c, r, t)
     return float(s[0]), float(e[0])
+
+
+def site_scores_t(counts_t, ref_base, tables: ScoreTables):
+    """(score, entropy) with genome-on-lanes layout: counts_t [..., B, N].
+
+    TPU tiling puts the LAST axis on the 128-wide vector lanes; a [N, 5]
+    layout uses 5/128 lanes, this transposed form uses them fully (measured
+    ~10x on an 8.4M-site genome). Same math as site_scores.
+    """
+    dtype = tables.dtype
+    c = jnp.clip(counts_t[..., : tables.len_b, :], 0, COUNT_CLIP).astype(dtype)
+    # ll[..., g, n] = sum_b log_phi[b, g] * c[..., b, n]
+    ll = jnp.einsum("bg,...bn->...gn", tables.log_phi, c, preferred_element_type=dtype)
+    lp = ll + tables.log_prior.T[:, ref_base]  # [..., G, N]
+    lse = jax.scipy.special.logsumexp(lp, axis=-2, keepdims=True)
+    log_post = lp - lse
+    post = jnp.exp(log_post)
+    entropy = -jnp.sum(post * log_post, axis=-2)
+    q = jnp.einsum("bg,...gn->...bn", tables.phi, post, preferred_element_type=dtype)
+    qlogq = jnp.where(q > 0, q * jnp.log(jnp.where(q > 0, q, 1.0)), 0.0)
+    score = jnp.sum(post * tables.k[:, None], axis=-2) - jnp.sum(qlogq, axis=-2)
+    return score, entropy

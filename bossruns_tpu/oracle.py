@@ -228,14 +228,15 @@ def full_update(engine, state_np: dict, batch_np: dict, approx_ccl, time_cost,
     if model.len_b == 4:
         w = np.where(sym == 4, 0.0, w)
     inc = np.zeros_like(cov)
-    np.add.at(inc, (batch_np["cov_bc"], batch_np["cov_pos"], sym), w.astype(cov.dtype))
+    # [NB, 5, G] genome-on-lanes layout (matches the device engine)
+    np.add.at(inc, (batch_np["cov_bc"], sym, batch_np["cov_pos"]), w.astype(cov.dtype))
     cov += inc
-    changed_site = (inc != 0).any(axis=(0, 2))
+    changed_site = (inc != 0).any(axis=(0, 1))
 
-    covsum = cov.sum(axis=2).astype(np.float64)  # [NB, G]
+    covsum = cov.sum(axis=1).astype(np.float64)  # [NB, G]
     seq = lay.seq_int.astype(np.int32)
     score_fn = site_scores_fast if fast_scores else site_scores
-    fresh = np.stack([score_fn(cov[b], seq, model)[0] for b in range(nb)])
+    fresh = np.stack([score_fn(cov[b].T, seq, model)[0] for b in range(nb)])
     site_valid = lay.site_valid()
     maxed = covsum >= cfg.freeze_cov
     scores = np.where(site_valid[None], fresh, 0.0)

@@ -64,7 +64,7 @@ class ShardedRunsEngine(RunsEngine):
             return NamedSharding(mesh, P(*spec))
 
         state_shardings = GenomeState(
-            coverage=ns(b, g, None),
+            coverage=ns(b, None, g),
             zeroed=ns(b, g),
             bucket_on=ns(b, None),
             read_starts=ns(None, None),
