@@ -136,7 +136,9 @@ class BossRuns:
             rid: self.barcodes_index.get(bc, 0) for rid, bc in (barcodes or {}).items()
         }
         rows = list(best.values())
-        pos, sym, bcc, w = coo_mod.build_coverage_coo(
+        from ..io.coo_native import build_coverage_coo_native
+
+        pos, sym, bcc, w = build_coverage_coo_native(
             self.layout, rec, rows, seqs, quals, read_bc
         )
         rs_row, rs_strand, rs_w = coo_mod.build_read_start_rows(self.layout, rec, rows)

@@ -17,6 +17,7 @@ from pathlib import Path
 import numpy as np
 
 from ..io import coo as coo_mod
+from ..io.coo_native import build_coverage_coo_native
 from ..io.fastq import read_fastx
 from ..io.paf import PafRecords, best_per_query, parse_paf
 from ..io.sampler import Sampler
@@ -266,10 +267,10 @@ class BossRunsSim:
         }
         full_rows = [i for kind, i in outc.cov_rows if kind == "full"]
         trunc_rows = [i for kind, i in outc.cov_rows if kind == "trunc"]
-        pos_f, sym_f, bcc_f, w_f = coo_mod.build_coverage_coo(
+        pos_f, sym_f, bcc_f, w_f = build_coverage_coo_native(
             self.layout, full, full_rows, seqs, quals, read_bc
         )
-        pos_t, sym_t, bcc_t, w_t = coo_mod.build_coverage_coo(
+        pos_t, sym_t, bcc_t, w_t = build_coverage_coo_native(
             self.layout, trunc, trunc_rows, outc.reads_decision, decided_quals, read_bc
         )
         rs_row, rs_strand, rs_w = coo_mod.build_read_start_rows(
