@@ -86,6 +86,10 @@ class RunsConfig:
     fhat_p0: float = 0.1
     on_target: float = 1.0
     dtype: str = "float32"
+    # fused Pallas score kernel (ops/pallas_scores.py). Measured neutral-to-
+    # slightly-slower than the XLA closed form inside the full step (XLA fuses
+    # the masking chain into the score math); kept as an option.
+    use_pallas_scores: bool | None = False
 
 
 class RunsEngine:
@@ -125,6 +129,12 @@ class RunsEngine:
         denom = np.append(lay.lengths * lay.n_barcodes, 1).astype(np.float64)
         self.c_contig_denom = jnp.asarray(denom, self.dtype)
         self.n_real_sites = float(lay.lengths.sum())
+        use_pallas = bool(config.use_pallas_scores) and self.dtype == jnp.float32
+        self._ptables = None
+        if use_pallas:
+            from ..ops.pallas_scores import PallasScoreTables
+
+            self._ptables = PallasScoreTables(self.tables)
         self.step = jax.jit(self._step, donate_argnums=(0,))
 
     # ------------------------------------------------------------- state ----
@@ -174,7 +184,12 @@ class RunsEngine:
         covsum_f = covsum.astype(dtype)
 
         # -- 2. scores -------------------------------------------------------
-        fresh, _entropy = site_scores_t(coverage, self.c_seq, self.tables)  # [NB, G]
+        if self._ptables is not None:
+            from ..ops.pallas_scores import site_scores_pallas
+
+            fresh = site_scores_pallas(coverage, self.c_seq, self._ptables)
+        else:
+            fresh, _entropy = site_scores_t(coverage, self.c_seq, self.tables)  # [NB, G]
         maxed = covsum >= cfg.freeze_cov
         scores = jnp.where(self.c_site_valid[None, :], fresh, 0.0)
         scores = jnp.where(maxed, self.tiny, scores)

@@ -92,20 +92,22 @@ def expected_benefit(scores_ds, approx_ccl_ds, seg_start, seg_end, mu_ds: int = 
     """
     n = scores_ds.shape[-1]
     rows = jnp.arange(n, dtype=jnp.int32)
-    cs = _csum(scores_ds)
-    cs_end = jnp.take(cs, seg_end, axis=-1)      # static-index gathers, once
-    cs_start = jnp.take(cs, seg_start, axis=-1)
-    smu_f = windowed_sums_fwd(cs, mu_ds, seg_end, rows, cs_end)
-    smu_r = windowed_sums_rev(cs, mu_ds, seg_start, rows, cs_start)
-    smu = jnp.stack([smu_f, smu_r], axis=-1)
-
-    weights = jnp.arange(0.05, 1.0, 0.1, dtype=cs.dtype)[::-1]
-    ebf = jnp.zeros_like(smu_f)
-    ebr = jnp.zeros_like(smu_r)
-    for i in range(10):
-        w = jnp.maximum(approx_ccl_ds[i], 1)
-        ebf = ebf + weights[i] * windowed_sums_fwd(cs, w, seg_end, rows, cs_end)
-        ebr = ebr + weights[i] * windowed_sums_rev(cs, w, seg_start, rows, cs_start)
+    cs = _csum(scores_ds)  # [..., n+1]
+    # all 11 windows (mu + 10 ccl pieces) in one batched gather per direction:
+    # hi[k, r] = min(r + w_k, seg_end[r]), lo[k, r] = max(r + 1 - w_k, seg_start)
+    wins = jnp.concatenate(
+        [jnp.asarray([mu_ds], jnp.int32).reshape(1), jnp.maximum(approx_ccl_ds, 1)]
+    )  # [11]
+    hi = jnp.minimum(rows[None, :] + wins[:, None], seg_end[None, :])  # [11, n]
+    lo = jnp.maximum(rows[None, :] + 1 - wins[:, None], seg_start[None, :])
+    cs_hi = jnp.take(cs, hi.reshape(-1), axis=-1).reshape(cs.shape[:-1] + (11, n))
+    cs_lo = jnp.take(cs, lo.reshape(-1), axis=-1).reshape(cs.shape[:-1] + (11, n))
+    fwd = cs_hi - cs[..., None, :n]          # [..., 11, n]
+    rev = cs[..., None, 1 : n + 1] - cs_lo
+    smu = jnp.stack([fwd[..., 0, :], rev[..., 0, :]], axis=-1)  # [..., n, 2]
+    weights = jnp.arange(0.05, 1.0, 0.1, dtype=cs.dtype)[::-1]  # [10]
+    ebf = jnp.einsum("k,...kn->...n", weights, fwd[..., 1:, :])
+    ebr = jnp.einsum("k,...kn->...n", weights, rev[..., 1:, :])
     eb = jnp.stack([ebf, ebr], axis=-1)
     return smu, jnp.maximum(eb - smu, 0.0)
 
