@@ -11,6 +11,7 @@ ava (aeons/ava.py) + host string graph (aeons/assembly.py).
 from __future__ import annotations
 
 import logging
+import pickle
 import shutil
 import time
 from pathlib import Path
@@ -46,6 +47,10 @@ class BossAeons:
             tetra=args.optional.tetra,
         )
         self.repeat_filter = None
+        from ..utils.checkpoint import MetricsWriter
+
+        self.metrics = MetricsWriter(self.out_dir)
+        self.checkpoint_every = 10
 
     # --------------------------------------------------------- live init ----
 
@@ -198,6 +203,45 @@ class BossAeons:
             f"batch {self.batch}: {len(contigs.sequences)} contigs "
             f"({contigs.total_bases()} bases), threshold {threshold:.3g}"
         )
+        lens = sorted((len(s.seq) for s in contigs.sequences.values()), reverse=True)
+        self.metrics.write(
+            batch=self.batch,
+            n_contigs=len(contigs.sequences),
+            contig_bases=contigs.total_bases(),
+            longest=lens[:5],
+            pool_size=len(self.pool.sequences),
+            threshold=threshold,
+        )
+        if self.checkpoint_every and self.batch % self.checkpoint_every == 0:
+            self.save_checkpoint()
+
+    def save_checkpoint(self) -> None:
+        """Persist the host pool + strategy atomically (the AEONS state is
+        host-resident; the reference has no checkpointing at all)."""
+        ckpt = Path(self.out_dir) / "checkpoint"
+        ckpt.mkdir(parents=True, exist_ok=True)
+        tmp = ckpt / "pool_tmp.pkl"
+        with open(tmp, "wb") as fh:
+            pickle.dump(
+                {"pool": self.pool, "strat": self.strat, "batch": self.batch,
+                 "rl_hist": self.rl_dist.hist},
+                fh,
+            )
+        tmp.rename(ckpt / "pool.pkl")
+
+    def load_checkpoint(self) -> bool:
+        path = Path(self.out_dir) / "checkpoint" / "pool.pkl"
+        if not path.exists():
+            return False
+        with open(path, "rb") as fh:
+            data = pickle.load(fh)
+        self.pool = data["pool"]
+        self.strat = data["strat"]
+        self.batch = data["batch"]
+        self.rl_dist.hist = data["rl_hist"]
+        self.rl_dist.update([])
+        logger.info(f"restored AEONS checkpoint at batch {self.batch}")
+        return True
 
     # ------------------------------------------------------------- live -----
 

@@ -164,6 +164,9 @@ class BossRunsSim:
 
             self.aligner = TpuAligner(self.layout)
         self.read_cache = ReadCache(batchsize, dumptime, out_base=out_base)
+        from .experiment import AbundanceTracker
+
+        self.tracker = AbundanceTracker(self.layout.names)
         self.batch = 0
         self.metrics = MetricsWriter(self.out_dir)
         self.checkpoint_every = 10
@@ -255,6 +258,7 @@ class BossRunsSim:
             full_rec = parse_paf(paf_f)
             trunc_rec = parse_paf(paf_t)
         full, trunc, outc = self.make_decisions(seqs, full_rec, trunc_rec, read_bc)
+        self._last_decisions = outc.reads_decision
         logger.info(f"mapped {outc.n_mapped}, unmapped {outc.n_unmapped}")
         logger.info(f"accepted {outc.n_accepted}, rejected {outc.n_rejected}")
 
@@ -275,6 +279,10 @@ class BossRunsSim:
         )
         rs_row, rs_strand, rs_w = coo_mod.build_read_start_rows(
             self.layout, full, outc.acc_rows
+        )
+        # abundance bookkeeping over accepted reads (runs/simulation.py:169)
+        self.tracker.update(
+            outc.n_accepted, full, {full.qname[i]: i for i in outc.acc_rows}
         )
         batch = ReadBatch(
             cov_pos=np.concatenate([pos_f, pos_t]),

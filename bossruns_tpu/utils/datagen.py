@@ -106,10 +106,17 @@ def simulate_reads(
     sd_len: float = 4000.0,
     min_len: int = 200,
     barcodes: list[int] | None = None,
+    abundance: dict[str, float] | None = None,
 ) -> list[SimRead]:
+    """abundance: optional per-contig sampling weights (molar abundance);
+    default is length-weighted (uniform per-site coverage)."""
     names = list(genome)
     lengths = np.array([len(genome[n]) for n in names], dtype=np.float64)
-    p = lengths / lengths.sum()
+    if abundance is not None:
+        w = np.array([abundance.get(n, 1.0) for n in names]) * lengths
+        p = w / w.sum()
+    else:
+        p = lengths / lengths.sum()
     reads = []
     for k in range(n_reads):
         c = int(rng.choice(len(names), p=p))
@@ -190,6 +197,7 @@ def write_corpus(
     mean_len: float = 6000.0,
     mu: int = 400,
     barcodes: list[int] | None = None,
+    abundance: dict[str, float] | None = None,
 ) -> dict[str, str]:
     """Write ref.fa, reads.fq, full.paf, trunc.paf; return their paths."""
     rng = rng or np.random.default_rng(7)
@@ -197,7 +205,9 @@ def write_corpus(
     out.mkdir(parents=True, exist_ok=True)
     contig_lengths = contig_lengths or {"contigA": 300_000, "contigB": 150_000}
     genome = random_genome(rng, contig_lengths)
-    reads = simulate_reads(rng, genome, n_reads, mean_len=mean_len, barcodes=barcodes)
+    reads = simulate_reads(
+        rng, genome, n_reads, mean_len=mean_len, barcodes=barcodes, abundance=abundance
+    )
     ref = out / "ref.fa"
     with open(ref, "w") as fh:
         for n, s in genome.items():
