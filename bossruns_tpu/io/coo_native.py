@@ -43,7 +43,11 @@ def build_coverage_coo_native(
     quals: dict[str, str],
     barcodes: dict[str, int] | None = None,
     qt: int = 0,
+    pad: bool = True,
 ):
+    """pad=False returns exact-length arrays so callers combining several
+    record sets can concatenate first and pad once (fewer jit shape buckets —
+    each distinct COO length costs a full step recompile)."""
     lib = native_mod._load()
     if not lib:
         from .coo import build_coverage_coo
@@ -91,8 +95,9 @@ def build_coverage_coo_native(
 
     n = len(tstarts)
     if n == 0:
-        z = np.zeros(_pad_len(0), np.int32)
-        return z, z.copy(), z.copy(), np.zeros(z.shape[0], np.float32)
+        m0 = _pad_len(0) if pad else 0
+        z = np.zeros(m0, np.int32)
+        return z, z.copy(), z.copy(), np.zeros(m0, np.float32)
     seqs_cat = np.concatenate(seq_parts)
     quals_cat = np.concatenate(qual_parts)
     s_off = np.concatenate([[0], np.cumsum([p.shape[0] for p in seq_parts])]).astype(np.int64)
@@ -100,7 +105,7 @@ def build_coverage_coo_native(
     c_off = np.concatenate([[0], np.cumsum([p.shape[0] for p in cig_parts])]).astype(np.int64)
     tstart_arr = np.asarray(tstarts, np.int64)
     total = int(np.sum(spans))
-    m = _pad_len(total)
+    m = _pad_len(total) if pad else total
     out_pos = np.zeros(m, np.int32)
     out_sym = np.zeros(m, np.int8)
     out_w = np.zeros(m, np.float32)
