@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..models.layout import DS, FHAT_WINDOW, GenomeLayout
+from ..models.layout import FHAT_WINDOW, GenomeLayout
 from .paf import PafRecords, alignment_coverage
 
 MIN_PAD = 1 << 12
