@@ -71,6 +71,24 @@ class TpuAligner:
         self._block_starts = layout.offsets.astype(np.int64)
         self._block_ends = (layout.offsets + layout.lengths).astype(np.int64)
 
+    def load_index(self, fasta: str) -> None:
+        """Rebuild the index from a new fasta (AEONS contig hot-swap —
+        the readfish side calls this when contigs/aeons.fa changes,
+        dynamic_readfish.py:113-139)."""
+        from ..models.layout import build_layout
+        from ..models.runs_sim import load_reference_contigs
+
+        layout = build_layout(load_reference_contigs(fasta), min_len=500)
+        self.__init__(
+            layout,
+            k=self.index.k,
+            w=self.index.w,
+            min_votes=self.min_votes,
+            max_divergence=self.max_divergence,
+            mu=self.mu,
+            threads=self.threads,
+        )
+
     # ----------------------------------------------------------- seeding ----
 
     def _seed_bucket(self, enc_reads: list[np.ndarray]):
