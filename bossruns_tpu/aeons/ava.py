@@ -87,7 +87,8 @@ def find_overlaps(
     )}
     k = pool_index.k
     for L, group in _bucketize(enc):
-        mat = np.full((len(group), L), 4, np.int8)
+        rows_p = 1 << max(4, int(np.ceil(np.log2(max(len(group), 1)))))
+        mat = np.full((rows_p, L), 4, np.int8)
         for r, g in enumerate(group):
             mat[r, : min(enc[g].shape[0], L)] = enc[g][:L]
         cands = seed_candidates(jnp.asarray(mat), pool_index.dev, ncand=ncand)

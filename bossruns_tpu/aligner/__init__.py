@@ -101,11 +101,14 @@ class TpuAligner:
                 L = b
                 break
         L = L or LENGTH_BUCKETS[-1]
-        mat = np.full((len(enc_reads), L), 4, np.int8)
+        rows = 1 << max(4, int(np.ceil(np.log2(max(len(enc_reads), 1)))))
+        mat = np.full((rows, L), 4, np.int8)
         for r, e in enumerate(enc_reads):
             mat[r, : min(e.shape[0], L)] = e[:L]
-        out = seed_and_vote(jnp.asarray(mat), self.dev_index, jnp.asarray(np.minimum(lens, L)))
-        return {key: np.asarray(v) for key, v in out.items()}
+        lens_p = np.zeros(rows, np.int32)
+        lens_p[: lens.shape[0]] = np.minimum(lens, L)
+        out = seed_and_vote(jnp.asarray(mat), self.dev_index, jnp.asarray(lens_p))
+        return {key: np.asarray(v)[: len(enc_reads)] for key, v in out.items()}
 
     # ----------------------------------------------------------- mapping ----
 

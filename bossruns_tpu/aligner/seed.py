@@ -36,17 +36,41 @@ DIAG_TOL = 256         # diagonal clustering tolerance (bases)
 SENTINEL = np.int32(2**31 - 2**24)  # beyond any real diagonal
 
 
+def _pow2(n: int, floor: int = 1 << 10) -> int:
+    p = floor
+    while p < n:
+        p *= 2
+    return p
+
+
 class DeviceIndex:
-    """Device-resident copy of the minimizer index (int32)."""
+    """Device-resident copy of the minimizer index (int32).
+
+    Arrays pad to power-of-two lengths so rebuilt indexes (AEONS rebuilds the
+    pool index every batch) hit the jit cache instead of recompiling the
+    seeding kernels: pad keys are INT32_MAX sentinels (> any 30-bit k-mer
+    code, so lookups never match) with zero occurrence counts."""
 
     def __init__(self, idx: MinimizerIndex):
         assert idx.positions.max(initial=0) < 2**31
         self.k, self.w = idx.k, idx.w
-        self.keys = jnp.asarray(idx.keys, jnp.int32)        # 30-bit codes
-        self.offsets = jnp.asarray(idx.offsets, jnp.int32)
-        self.positions = jnp.asarray(idx.positions, jnp.int32)
-        self.strands = jnp.asarray(idx.strands, jnp.int32)
-        self.n_keys = int(idx.keys.shape[0])
+        nk = idx.keys.shape[0]
+        nkp = _pow2(nk)
+        keys = np.full(nkp, np.iinfo(np.int32).max, np.int32)
+        keys[:nk] = idx.keys
+        offsets = np.full(nkp + 1, idx.offsets[-1], np.int64)
+        offsets[: nk + 1] = idx.offsets
+        npos = idx.positions.shape[0]
+        npp = _pow2(max(npos, 1))
+        positions = np.zeros(npp, np.int64)
+        positions[:npos] = idx.positions
+        strands = np.zeros(npp, np.int8)
+        strands[:npos] = idx.strands
+        self.keys = jnp.asarray(keys, jnp.int32)        # 30-bit codes
+        self.offsets = jnp.asarray(offsets, jnp.int32)
+        self.positions = jnp.asarray(positions, jnp.int32)
+        self.strands = jnp.asarray(strands, jnp.int32)
+        self.n_keys = nk
 
 
 def _rolling_min(x, w):
