@@ -249,7 +249,11 @@ class BossRunsSim:
     # ------------------------------------------------------------ batch ------
 
     def process_batch(self) -> None:
+        import time as _time
+
+        t = {"start": _time.perf_counter()}
         seqs, quals, bc_names, paf_f, paf_t = self.sampler.sample()
+        t["sample"] = _time.perf_counter()
         read_bc = {rid: self.barcodes_index.get(bc, 0) for rid, bc in bc_names.items()}
         if self.aligner is not None:
             full_rec = self.aligner.map_sequences(seqs)
@@ -257,8 +261,10 @@ class BossRunsSim:
         else:
             full_rec = parse_paf(paf_f)
             trunc_rec = parse_paf(paf_t)
+        t["align"] = _time.perf_counter()
         full, trunc, outc = self.make_decisions(seqs, full_rec, trunc_rec, read_bc)
         self._last_decisions = outc.reads_decision
+        t["decide"] = _time.perf_counter()
         logger.info(f"mapped {outc.n_mapped}, unmapped {outc.n_unmapped}")
         logger.info(f"accepted {outc.n_accepted}, rejected {outc.n_rejected}")
 
@@ -311,8 +317,13 @@ class BossRunsSim:
             rs_strand=rs_strand,
             rs_w=rs_w,
         )
+        t["coo"] = _time.perf_counter()
         params = self.engine.make_params(self.rl_dist.approx_ccl, self.rl_dist.time_cost)
         self.state, aux = self.engine.step(self.state, batch, params)
+        import jax as _jax
+
+        _jax.block_until_ready(self.state.strat)
+        t["device"] = _time.perf_counter()
 
         if bool(aux.updated):
             self.strat_host = self.engine.strat_dict(self.state)
@@ -330,8 +341,15 @@ class BossRunsSim:
             seqs, outc.reads_decision, bc_names if len(self.barcodes_index) > 1 else None
         )
         self.batch += 1
+        t["write"] = _time.perf_counter()
+        keys = ["sample", "align", "decide", "coo", "device", "write"]
+        phases = {
+            k: round(t[k] - t[prev], 3)
+            for k, prev in zip(keys, ["start"] + keys[:-1])
+        }
         self.metrics.write(
             batch=self.batch,
+            phases=phases,
             n_mapped=outc.n_mapped,
             n_accepted=outc.n_accepted,
             n_rejected=outc.n_rejected,
