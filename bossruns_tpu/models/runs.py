@@ -191,6 +191,9 @@ class RunsEngine:
         else:
             fresh, _entropy = site_scores_t(coverage, self.c_seq, self.tables)  # [NB, G]
         maxed = covsum >= cfg.freeze_cov
+        # the score is a mutual information (>= 0); f32 cancellation can leave
+        # ~1e-5 negatives at resolved sites
+        fresh = jnp.maximum(fresh, 0.0)
         scores = jnp.where(self.c_site_valid[None, :], fresh, 0.0)
         scores = jnp.where(maxed, self.tiny, scores)
 
