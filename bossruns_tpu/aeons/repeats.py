@@ -1,13 +1,16 @@
 """Repeat filter: drop reads whose ends look like repeats (AEONS, optional).
 
-Mirrors /root/reference/boss/aeons/repeats.py: from an initial read pool,
-100-bp windows of every sequence are mapped back onto the pool; window
-coverage above the 99.9th percentile (>= 3) marks repeat blocks (>= 100 bp),
-which form a repeat library. Each subsequent batch maps the library onto the
-new reads; reads with repeat coverage near either end (> 5 summed coverage in
-a 500-bp end window) are dropped before entering the overlap graph.
+Capability parity with /root/reference/boss/aeons/repeats.py: from an initial
+read pool a repeat library is built; each batch then drops reads whose ends
+carry repeat sequence (they would mislead the overlap graph).
 
-Mapping runs on the device ava machinery instead of mappy subcalls.
+Detection here is minimizer-occurrence based instead of the reference's
+chop-and-map coverage counting (repeats.py:55-122): a minimizer index over
+the pool with the occurrence cap lifted directly exposes repeat content —
+positions whose k-mers occur far more often than the expected read coverage.
+Runs of high-occurrence positions >= 100 bp (the reference's block floor)
+become the library; batches are seeded against the library index and reads
+with hits inside a 500 bp end window are dropped (repeats.py:160-202).
 """
 from __future__ import annotations
 
@@ -19,7 +22,7 @@ from .ava import PoolIndex, find_overlaps
 
 logger = logging.getLogger("boss_tpu")
 
-WINDOW = 100
+BLOCK_MIN = 100
 END_WINDOW = 500
 
 
@@ -37,41 +40,58 @@ def _find_blocks_ge(arr: np.ndarray, x: float, min_len: int) -> list[tuple[int, 
 class RepeatFilter:
     def __init__(self, seqs: dict[str, str], min_votes: int = 3):
         self.min_votes = min_votes
-        pidx = PoolIndex(seqs)
-        chopped = {}
-        for header, seq in seqs.items():
-            for i in range(0, len(seq), WINDOW):
-                chopped[f"{header}-{i:010}"] = seq[i : i + WINDOW]
-        rows = find_overlaps(chopped, pidx, min_votes=2, exclude_self=False)
-        covs: dict[str, np.ndarray] = {}
-        for i in range(len(rows["qname"])):
-            t = rows["tname"][i]
-            if rows["qname"][i].rsplit("-", 1)[0] == t:
-                continue  # self window
-            if t not in covs:
-                covs[t] = np.zeros(rows["tlen"][i])
-            covs[t][rows["tstart"][i] : rows["tend"][i]] += 1
-        # coverage quantile -> repeat limit (repeats.py:98-122)
-        all_vals = np.concatenate([c for c in covs.values()]) if covs else np.zeros(1)
-        lim = max(float(np.quantile(all_vals, 0.999)), 3.0)
-        self.lim = lim
+        # occurrence-uncapped index: repeats are exactly the high-occ keys
+        pidx = PoolIndex(seqs, max_occ=1_000_000)
+        idx = pidx.dev
+        counts_per_key = np.diff(np.asarray(idx.offsets, np.int64))
+        n_real = int(np.asarray(idx.offsets)[-1])
+        positions = np.asarray(idx.positions, np.int64)[:n_real]
+        # per minimizer occurrence: how often its key occurs in the pool
+        occ = np.repeat(counts_per_key, counts_per_key)[:n_real]
+        # threshold: 3x the typical multi-occurrence key count (~ read depth
+        # after k-mer error attrition), floor 3 — the reference uses the
+        # 99.9th coverage percentile with the same floor (repeats.py:98-122);
+        # a depth-relative threshold is robust to repeat-dense pools
+        multi = counts_per_key[counts_per_key >= 2]
+        depth = float(np.median(multi)) if multi.size else 1.0
+        self.lim = max(4.0 * depth, 3.0)
+        hot = positions[occ >= self.lim]
         self.repeats: dict[str, str] = {}
-        for header, cov in covs.items():
-            for s, e in _find_blocks_ge(cov, lim, min_len=100):
-                self.repeats[f"{header}-rep-{s}"] = seqs[header][s:e]
-        logger.info(f"repeat filter: {len(self.repeats)} repeat blocks, limit {lim}")
+        if hot.size:
+            # map hot concat-positions back to (read, local); chain hot
+            # minimizers with gap tolerance (sequencing errors knock out
+            # ~2/3 of exact k-mers, fragmenting contiguous runs)
+            hot.sort()
+            rid_idx = np.searchsorted(pidx.starts, hot, side="right") - 1
+            gap = 8 * idx.w + idx.k
+            for r in np.unique(rid_idx):
+                name = pidx.names[r]
+                local = np.sort(hot[rid_idx == r] - pidx.starts[r])
+                breaks = np.flatnonzero(np.diff(local) > gap)
+                starts = np.concatenate([[0], breaks + 1])
+                ends = np.concatenate([breaks, [local.shape[0] - 1]])
+                for si, ei in zip(starts, ends):
+                    s, e = int(local[si]), int(local[ei]) + idx.k
+                    # require both span and hot-minimizer density
+                    if e - s > BLOCK_MIN and (ei - si + 1) >= 5:
+                        self.repeats[f"{name}-rep-{s}"] = seqs[name][s:e]
+        logger.info(
+            f"repeat filter: {len(self.repeats)} repeat blocks, limit {self.lim}"
+        )
+        self._lib_index = PoolIndex(self.repeats) if self.repeats else None
 
     def filter_batch(self, seq_dict: dict[str, str]) -> dict[str, str]:
         """Drop reads with repeat hits near either end (repeats.py:160-202)."""
-        if not self.repeats or not seq_dict:
+        if self._lib_index is None or not seq_dict:
             return seq_dict
-        ridx = PoolIndex(seq_dict)
-        rows = find_overlaps(self.repeats, ridx, min_votes=self.min_votes, exclude_self=False)
+        rows = find_overlaps(
+            seq_dict, self._lib_index, min_votes=self.min_votes, exclude_self=False
+        )
         danger = set()
         for i in range(len(rows["qname"])):
-            t = rows["tname"][i]
-            tl = rows["tlen"][i]
-            if rows["tstart"][i] < END_WINDOW or rows["tend"][i] > tl - END_WINDOW:
-                danger.add(t)
+            q = rows["qname"][i]
+            ql = rows["qlen"][i]
+            if rows["qstart"][i] < END_WINDOW or rows["qend"][i] > ql - END_WINDOW:
+                danger.add(q)
         logger.info(f"repeat filter: dropping {len(danger)} reads")
         return {h: s for h, s in seq_dict.items() if h not in danger}

@@ -204,3 +204,26 @@ def test_aeons_sim_end_to_end(tmp_path, monkeypatch):
     assert sim.strat  # strategies exist
     assert sim.accept_count + sim.reject_count > 0  # decisions engaged
     assert sim.read_cache.time_boss <= sim.read_cache.time_control
+
+
+def test_repeat_filter_drops_repeat_ended_reads(rng):
+    from bossruns_tpu.aeons.repeats import RepeatFilter
+    from bossruns_tpu.utils.datagen import random_genome, simulate_reads
+
+    base = random_genome(rng, {"u": 60_000})["u"]
+    repeat = random_genome(rng, {"r": 1_500})["r"]
+    # genome with a high-copy (6x) repeat
+    parts = [base[i * 10_000 : (i + 1) * 10_000] + repeat for i in range(6)]
+    genome = {"g": "".join(parts)}
+    reads = simulate_reads(rng, genome, 200, mean_len=5000.0, min_len=3000)
+    seqs = {r.rid: r.seq for r in reads}
+    rf = RepeatFilter(seqs)
+    assert rf.repeats, "repeat blocks should be detected"
+    # reads whose window starts inside the repeat get flagged when the repeat
+    # sits near an end
+    filtered = rf.filter_batch(seqs)
+    assert len(filtered) <= len(seqs)
+    # a clean read far from repeats survives
+    clean = {"clean": base[32_000:37_000]}
+    kept = rf.filter_batch(clean)
+    assert "clean" in kept
