@@ -98,9 +98,11 @@ def main():
         "read_starts": np.zeros((layout.Wf_pad, 2)),
         "strat": np.ones((1, layout.Gd_pad, 2), bool),
     }
-    t0 = time.perf_counter()
-    oracle.full_update(eng, st_np, batch_np, CCL, TIME_COST, fast_scores=True)
-    cpu_ms = (time.perf_counter() - t0) * 1000.0
+    cpu_ms = float("inf")
+    for _ in range(2):  # min of 2: robust to transient host load
+        t0 = time.perf_counter()
+        oracle.full_update(eng, st_np, batch_np, CCL, TIME_COST, fast_scores=True)
+        cpu_ms = min(cpu_ms, (time.perf_counter() - t0) * 1000.0)
 
     total_bases = int(batch_np["cov_w"].sum())
     print(
