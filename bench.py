@@ -41,19 +41,26 @@ def build_inputs(rng):
     rlen = np.clip(rng.normal(MEAN_LEN, 2000, N_READS), 400, 20000).astype(np.int64)
     starts = (rng.random(N_READS) * (lens[cid] - rlen)).astype(np.int64)
     goff = np.array([layout.offsets[i] for i in range(len(lens))])
+    rstart = (goff[cid] + starts).astype(np.int32)
     pos = np.concatenate(
-        [goff[c] + s + np.arange(l) for c, s, l in zip(cid, starts, rlen)]
-    ).astype(np.int32)
-    sym = layout.seq_int[pos].astype(np.int32)
+        [s0 + np.arange(l) for s0, l in zip(rstart, rlen)]
+    ).astype(np.int64)
+    sym = layout.seq_int[pos].astype(np.int8)
     flip = rng.random(pos.shape[0]) < 0.05
     sym[flip] = rng.integers(0, 5, int(flip.sum()))
     m = 1 << int(np.ceil(np.log2(pos.shape[0])))
-    pad = m - pos.shape[0]
+    r_pad = 1 << int(np.ceil(np.log2(N_READS)))
+    sym_p = np.zeros(m, np.int8)
+    sym_p[: sym.shape[0]] = sym
+    qual_p = np.full(m, -1, np.int8)
+    qual_p[: sym.shape[0]] = 40
+    rstart_p = np.zeros(r_pad, np.int32)
+    rstart_p[:N_READS] = rstart
+    rspan_p = np.zeros(r_pad, np.int32)
+    rspan_p[:N_READS] = rlen
     batch_np = dict(
-        cov_pos=np.concatenate([pos, np.zeros(pad, np.int32)]),
-        cov_sym=np.concatenate([sym, np.zeros(pad, np.int32)]),
-        cov_bc=np.zeros(m, np.int32),
-        cov_w=np.concatenate([np.ones(pos.shape[0], np.float32), np.zeros(pad, np.float32)]),
+        sym=sym_p, qual=qual_p, rstart=rstart_p, rspan=rspan_p,
+        rbc=np.zeros(r_pad, np.int32),
         rs_row=(rng.integers(0, layout.n_fhat, N_READS)).astype(np.int32),
         rs_strand=rng.integers(0, 2, N_READS).astype(np.int32),
         rs_w=np.ones(N_READS, np.float32),
@@ -104,7 +111,7 @@ def main():
         oracle.full_update(eng, st_np, batch_np, CCL, TIME_COST, fast_scores=True)
         cpu_ms = min(cpu_ms, (time.perf_counter() - t0) * 1000.0)
 
-    total_bases = int(batch_np["cov_w"].sum())
+    total_bases = int(batch_np["rspan"].sum())
     print(
         json.dumps(
             {

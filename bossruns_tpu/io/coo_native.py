@@ -126,3 +126,150 @@ def build_coverage_coo_native(
         d[starts] = np.diff(np.concatenate([[0], bc_arr]))
         bc_out[:total] = np.cumsum(d, dtype=np.int32)
     return out_pos, out_sym.astype(np.int32), bc_out, out_w
+
+
+def build_packed_runs(
+    layout: GenomeLayout,
+    record_sets,  # list of (rec, rows, seqs, quals)
+    barcodes: dict[str, int] | None = None,
+):
+    """Packed per-read-run batch pieces for models.runs.ReadBatch.
+
+    Returns (sym int8 [M], qual int8 [M], rstart int32 [R], rspan int32 [R],
+    rbc int32 [R]) UNPADDED; callers pad. One C pass per record set emits
+    symbols/quals; site indices are reconstructed on device.
+    """
+    lib = native_mod._load()
+    if not lib:
+        return _build_packed_runs_numpy(layout, record_sets, barcodes)
+    if not hasattr(lib, "_packed_ready"):
+        lib.expand_cigars_packed.restype = ctypes.c_int64
+        lib.expand_cigars_packed.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib._packed_ready = True
+    tid_of = {n: i for i, n in enumerate(layout.names)}
+    sym_chunks, qual_chunks = [], []
+    rstarts, rspans, rbcs = [], [], []
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    for rec, rows, seqs, quals in record_sets:
+        seq_parts, qual_parts, cig_parts = [], [], []
+        spans = []
+        for i in rows:
+            tid = tid_of.get(rec.tname[i])
+            if tid is None:
+                continue
+            rid = rec.qname[i]
+            cig = rec.cigars[i]
+            if cig is None:
+                raise ValueError(f"record for {rid} has no cigar")
+            qs, qe, ql = int(rec.qstart[i]), int(rec.qend[i]), int(rec.qlen[i])
+            codes = _ENC[np.frombuffer(seqs[rid].encode(), np.uint8)]
+            qv = quals.get(rid, "")
+            qarr = (
+                np.frombuffer(qv.encode(), np.uint8).astype(np.int16) - 33
+                if qv else np.full(codes.shape[0], 40, np.int16)
+            )
+            if rec.rev[i]:
+                codes = _RC_CODE[np.minimum(codes, 4)][::-1]
+                qarr = qarr[::-1]
+                qs, qe = ql - qe, ql - qs
+            seq_parts.append(codes[qs:qe])
+            qual_parts.append(np.clip(qarr[qs:qe], 0, 127).astype(np.int8))
+            cig_parts.append(_pack_cigar(cig))
+            rstarts.append(int(layout.offsets[tid]) + int(rec.tstart[i]))
+            spans.append(int(rec.tend[i] - rec.tstart[i]))
+            rbcs.append(0 if barcodes is None else barcodes.get(rid, 0))
+        if not spans:
+            continue
+        n = len(spans)
+        seqs_cat = np.concatenate(seq_parts)
+        quals_cat = np.concatenate(qual_parts)
+        s_off = np.concatenate([[0], np.cumsum([x.shape[0] for x in seq_parts])]).astype(np.int64)
+        cig_cat = np.concatenate(cig_parts)
+        c_off = np.concatenate([[0], np.cumsum([x.shape[0] for x in cig_parts])]).astype(np.int64)
+        total = int(np.sum(spans))
+        out_sym = np.zeros(total, np.int8)
+        out_qual = np.zeros(total, np.int8)
+        k = lib.expand_cigars_packed(
+            c(seqs_cat), c(quals_cat), c(s_off), c(cig_cat), c(c_off),
+            np.int32(n), c(out_sym), c(out_qual), np.int64(total),
+        )
+        assert k == total, (k, total)
+        sym_chunks.append(out_sym)
+        qual_chunks.append(out_qual)
+        rspans.extend(spans)
+    if not rspans:
+        z8 = np.zeros(0, np.int8)
+        z32 = np.zeros(0, np.int32)
+        return z8, z8.copy(), z32, z32.copy(), z32.copy()
+    return (
+        np.concatenate(sym_chunks),
+        np.concatenate(qual_chunks),
+        np.asarray(rstarts, np.int32),
+        np.asarray(rspans, np.int32),
+        np.asarray(rbcs, np.int32),
+    )
+
+
+def _build_packed_runs_numpy(layout, record_sets, barcodes):
+    from .paf import alignment_coverage
+
+    tid_of = {n: i for i, n in enumerate(layout.names)}
+    sym_chunks, qual_chunks = [], []
+    rstarts, rspans, rbcs = [], [], []
+    for rec, rows, seqs, quals in record_sets:
+        for i in rows:
+            tid = tid_of.get(rec.tname[i])
+            if tid is None:
+                continue
+            rid = rec.qname[i]
+            ts, te, symv, qv = alignment_coverage(rec, i, seqs[rid], quals.get(rid, ""))
+            sym_chunks.append(symv.astype(np.int8))
+            qual_chunks.append(np.clip(qv, 0, 127).astype(np.int8))
+            rstarts.append(int(layout.offsets[tid]) + ts)
+            rspans.append(te - ts)
+            rbcs.append(0 if barcodes is None else barcodes.get(rid, 0))
+    if not rspans:
+        z8 = np.zeros(0, np.int8)
+        z32 = np.zeros(0, np.int32)
+        return z8, z8.copy(), z32, z32.copy(), z32.copy()
+    return (
+        np.concatenate(sym_chunks),
+        np.concatenate(qual_chunks),
+        np.asarray(rstarts, np.int32),
+        np.asarray(rspans, np.int32),
+        np.asarray(rbcs, np.int32),
+    )
+
+
+def pack_batch(layout, record_sets, barcodes=None, rs=None):
+    """Build a fully padded models.runs.ReadBatch from record sets.
+
+    rs: optional (rs_row, rs_strand, rs_w) arrays.
+    """
+    sym, qual, rstart, rspan, rbc = build_packed_runs(layout, record_sets, barcodes)
+    m = _pad_len(sym.shape[0])
+    r_pad = 512
+    while r_pad < rstart.shape[0]:
+        r_pad *= 2
+    sym_p = np.zeros(m, np.int8)
+    qual_p = np.full(m, -1, np.int8)  # padding weight 0
+    sym_p[: sym.shape[0]] = sym
+    qual_p[: qual.shape[0]] = qual
+    rstart_p = np.zeros(r_pad, np.int32)
+    rspan_p = np.zeros(r_pad, np.int32)
+    rbc_p = np.zeros(r_pad, np.int32)
+    rstart_p[: rstart.shape[0]] = rstart
+    rspan_p[: rspan.shape[0]] = rspan
+    rbc_p[: rbc.shape[0]] = rbc
+    from ..models.runs import ReadBatch
+
+    if rs is None:
+        rs = (np.zeros(512, np.int32), np.zeros(512, np.int32), np.zeros(512, np.float32))
+    return ReadBatch(
+        sym=sym_p, qual=qual_p, rstart=rstart_p, rspan=rspan_p, rbc=rbc_p,
+        rs_row=rs[0], rs_strand=rs[1], rs_w=rs[2],
+    )

@@ -136,13 +136,10 @@ class BossRuns:
             rid: self.barcodes_index.get(bc, 0) for rid, bc in (barcodes or {}).items()
         }
         rows = list(best.values())
-        from ..io.coo_native import build_coverage_coo_native
+        from ..io.coo_native import pack_batch
 
-        pos, sym, bcc, w = build_coverage_coo_native(
-            self.layout, rec, rows, seqs, quals, read_bc
-        )
-        rs_row, rs_strand, rs_w = coo_mod.build_read_start_rows(self.layout, rec, rows)
-        batch = ReadBatch(pos, sym, bcc, w, rs_row, rs_strand, rs_w)
+        rs = coo_mod.build_read_start_rows(self.layout, rec, rows)
+        batch = pack_batch(self.layout, [(rec, rows, seqs, quals)], read_bc, rs=rs)
         params = self.engine.make_params(self.rl_dist.approx_ccl, self.rl_dist.time_cost)
         self.state, aux = self.engine.step(self.state, batch, params)
         self.tracker.update(len(seqs), rec, best)

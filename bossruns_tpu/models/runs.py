@@ -48,18 +48,25 @@ class GenomeState(NamedTuple):
 
 
 class ReadBatch(NamedTuple):
-    """Padded COO representation of one batch of mapped reads (host-built).
+    """Packed per-read-run batch (host-built).
 
-    Padding entries carry weight 0 (and index 0) and are no-ops.
+    Coverage arrives as runs: run r covers target sites
+    [rstart[r], rstart[r] + rspan[r]) with per-site symbols/quals stored
+    contiguously in ``sym``/``qual`` (int8 — ~8x less host->device transfer
+    than per-site COO triplets). Site indices and barcode columns are
+    reconstructed on device with a scatter + cumulative sum. Entries past
+    sum(rspan) must carry qual < 0 (weight 0); runs past the real read count
+    carry rspan 0.
     """
 
-    cov_pos: jax.Array   # [M] int32 global site index
-    cov_sym: jax.Array   # [M] int32 observed symbol 0..4 (4 = deletion)
-    cov_bc: jax.Array    # [M] int32 barcode index
-    cov_w: jax.Array     # [M] f32 addition weight (0/1 after qual threshold)
-    rs_row: jax.Array    # [R] int32 global fhat window row
-    rs_strand: jax.Array  # [R] int32 0=fwd 1=rev
-    rs_w: jax.Array      # [R] f32
+    sym: jax.Array      # [M] int8 observed symbol 0..4 (4 = deletion)
+    qual: jax.Array     # [M] int8 phred (< 0 on padding)
+    rstart: jax.Array   # [R] int32 global target start of run r
+    rspan: jax.Array    # [R] int32 covered sites of run r
+    rbc: jax.Array      # [R] int32 barcode of run r
+    rs_row: jax.Array    # [Rs] int32 global fhat window row
+    rs_strand: jax.Array  # [Rs] int32 0=fwd 1=rev
+    rs_w: jax.Array      # [Rs] f32
 
 
 class StepParams(NamedTuple):
@@ -78,6 +85,7 @@ class StepAux(NamedTuple):
 @dataclasses.dataclass(frozen=True)
 class RunsConfig:
     mu: int = 400
+    qt: int = 0                   # quality threshold (sequences.py:659)
     freeze_cov: int = 30          # sequences.py:419
     dropout_mod: int = 8          # reference.py:166
     dropout_min_mean: float = 5.0  # reference.py:158
@@ -161,14 +169,30 @@ class RunsEngine:
         Gd = G // DS
 
         # -- 1. coverage increments ------------------------------------------
-        w = batch.cov_w.astype(dtype)
+        # expand per-read runs to site indices: pos[i] = i + adj where adj is
+        # piecewise-constant per run (rstart_r - prefix_r), materialised by a
+        # scatter of deltas + cumulative sum (no gathers)
+        m = batch.sym.shape[0]
+        rspan = batch.rspan
+        prefix = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(rspan, dtype=jnp.int32)[:-1]]
+        )
+        seg_adj = batch.rstart - prefix
+        d_adj = jnp.diff(seg_adj, prepend=jnp.zeros(1, jnp.int32))
+        adj = jnp.cumsum(jnp.zeros(m, jnp.int32).at[prefix].add(d_adj, mode="drop"))
+        pos = jnp.arange(m, dtype=jnp.int32) + adj
+        d_bc = jnp.diff(batch.rbc, prepend=jnp.zeros(1, jnp.int32))
+        bc = jnp.cumsum(jnp.zeros(m, jnp.int32).at[prefix].add(d_bc, mode="drop"))
+        sym = batch.sym.astype(jnp.int32)
+        w = (batch.qual >= self.config.qt).astype(dtype)
         if self.model.len_b == 4:
             # deletion observations are ignored entirely in the 4-symbol model
             # (sequences.py:417-418 zeroes the deletion column)
-            w = jnp.where(batch.cov_sym == 4, 0.0, w)
+            w = jnp.where(sym == 4, 0.0, w)
+        w = jnp.where(pos < G, w, 0.0)
         # single flat-index scatter: the multi-index-array form lowers to a
         # ~1000x slower XLA scatter path on TPU (see bench notes)
-        flat = (batch.cov_bc * 5 + batch.cov_sym) * G + batch.cov_pos
+        flat = (bc * 5 + sym) * G + jnp.minimum(pos, G - 1)
         inc = (
             jnp.zeros(nb * 5 * G, jnp.int32)
             .at[flat]

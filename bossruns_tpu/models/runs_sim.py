@@ -17,7 +17,6 @@ from pathlib import Path
 import numpy as np
 
 from ..io import coo as coo_mod
-from ..io.coo_native import build_coverage_coo_native
 from ..io.fastq import read_fastx
 from ..io.paf import PafRecords, best_per_query, parse_paf
 from ..io.sampler import Sampler
@@ -277,13 +276,6 @@ class BossRunsSim:
         }
         full_rows = [i for kind, i in outc.cov_rows if kind == "full"]
         trunc_rows = [i for kind, i in outc.cov_rows if kind == "trunc"]
-        pos_f, sym_f, bcc_f, w_f = build_coverage_coo_native(
-            self.layout, full, full_rows, seqs, quals, read_bc, pad=False
-        )
-        pos_t, sym_t, bcc_t, w_t = build_coverage_coo_native(
-            self.layout, trunc, trunc_rows, outc.reads_decision, decided_quals,
-            read_bc, pad=False
-        )
         rs_row, rs_strand, rs_w = coo_mod.build_read_start_rows(
             self.layout, full, outc.acc_rows
         )
@@ -291,31 +283,16 @@ class BossRunsSim:
         self.tracker.update(
             outc.n_accepted, full, {full.qname[i]: i for i in outc.acc_rows}
         )
-        # concatenate first, pad once (single jit shape bucket per pow2 size)
-        from ..io.coo import _pad_len
+        from ..io.coo_native import pack_batch
 
-        n_tot = pos_f.shape[0] + pos_t.shape[0]
-        m = _pad_len(n_tot)
-        cov_pos = np.zeros(m, np.int32)
-        cov_sym = np.zeros(m, np.int32)
-        cov_bc = np.zeros(m, np.int32)
-        cov_w = np.zeros(m, np.float32)
-        cov_pos[: pos_f.shape[0]] = pos_f
-        cov_pos[pos_f.shape[0] : n_tot] = pos_t
-        cov_sym[: pos_f.shape[0]] = sym_f
-        cov_sym[pos_f.shape[0] : n_tot] = sym_t
-        cov_bc[: pos_f.shape[0]] = bcc_f
-        cov_bc[pos_f.shape[0] : n_tot] = bcc_t
-        cov_w[: pos_f.shape[0]] = w_f
-        cov_w[pos_f.shape[0] : n_tot] = w_t
-        batch = ReadBatch(
-            cov_pos=cov_pos,
-            cov_sym=cov_sym,
-            cov_bc=cov_bc,
-            cov_w=cov_w,
-            rs_row=rs_row,
-            rs_strand=rs_strand,
-            rs_w=rs_w,
+        batch = pack_batch(
+            self.layout,
+            [
+                (full, full_rows, seqs, quals),
+                (trunc, trunc_rows, outc.reads_decision, decided_quals),
+            ],
+            barcodes=read_bc,
+            rs=(rs_row, rs_strand, rs_w),
         )
         t["coo"] = _time.perf_counter()
         params = self.engine.make_params(self.rl_dist.approx_ccl, self.rl_dist.time_cost)

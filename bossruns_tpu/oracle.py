@@ -222,14 +222,25 @@ def full_update(engine, state_np: dict, batch_np: dict, approx_ccl, time_cost,
     G, Gd = lay.G_pad, lay.Gd_pad
     tiny = np.finfo(np.float64).tiny
 
-    cov = state_np["coverage"].copy()
-    w = batch_np["cov_w"].astype(np.float64)
-    sym = batch_np["cov_sym"]
+    cov = state_np["coverage"].copy()  # [NB, 5, G] genome-on-lanes layout
+    # expand the packed per-read runs like the device step does
+    rspan = np.asarray(batch_np["rspan"], np.int64)
+    total = int(rspan.sum())
+    pos = (
+        np.concatenate(
+            [np.arange(st, st + sp) for st, sp in zip(batch_np["rstart"], rspan)]
+        ).astype(np.int64)
+        if total
+        else np.zeros(0, np.int64)
+    )
+    bc = np.repeat(np.asarray(batch_np["rbc"], np.int64), rspan)
+    sym = np.asarray(batch_np["sym"][:total], np.int64)
+    qual = np.asarray(batch_np["qual"][:total])
+    w = (qual >= 0).astype(np.float64)  # qt = 0
     if model.len_b == 4:
         w = np.where(sym == 4, 0.0, w)
     inc = np.zeros_like(cov)
-    # [NB, 5, G] genome-on-lanes layout (matches the device engine)
-    np.add.at(inc, (batch_np["cov_bc"], sym, batch_np["cov_pos"]), w.astype(cov.dtype))
+    np.add.at(inc, (bc, sym, pos), w.astype(cov.dtype))
     cov += inc
     changed_site = (inc != 0).any(axis=(0, 1))
 

@@ -70,7 +70,7 @@ class ShardedRunsEngine(RunsEngine):
             read_starts=ns(None, None),
             strat=ns(b, g, None),
         )
-        batch_shardings = ReadBatch(*([ns(None)] * 7))
+        batch_shardings = ReadBatch(*([ns(None)] * len(ReadBatch._fields)))
         params_shardings = StepParams(ns(None), ns(), ns())
         self._state_shardings = state_shardings
         # shard the big device constants along the genome axis too
@@ -116,15 +116,16 @@ def demo_sharded_step(n_devices: int | None = None, barcode_shards: int = 1, see
     eng = ShardedRunsEngine(layout, mesh)
     state = eng.init_state()
 
-    m = 1 << 15
-    pos = rng.integers(0, 140_000, m).astype(np.int32)
-    sym = layout.seq_int[pos].astype(np.int32)
+    n_runs, run_len = 512, 64
+    rstart = rng.integers(0, 140_000 - run_len, n_runs).astype(np.int32)
+    pos = np.concatenate([np.arange(s0, s0 + run_len) for s0 in rstart])
     batch = eng.put_batch(
         ReadBatch(
-            cov_pos=pos,
-            cov_sym=sym,
-            cov_bc=rng.integers(0, nb, m).astype(np.int32),
-            cov_w=np.ones(m, np.float32),
+            sym=layout.seq_int[pos].astype(np.int8),
+            qual=np.full(pos.shape[0], 40, np.int8),
+            rstart=rstart,
+            rspan=np.full(n_runs, run_len, np.int32),
+            rbc=rng.integers(0, nb, n_runs).astype(np.int32),
             rs_row=rng.integers(0, layout.n_fhat, 512).astype(np.int32),
             rs_strand=rng.integers(0, 2, 512).astype(np.int32),
             rs_w=np.ones(512, np.float32),

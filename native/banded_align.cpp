@@ -236,3 +236,42 @@ int64_t expand_cigars_batch(const int8_t* seqs, const int8_t* quals,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Packed expansion: per covered target position emit (symbol, qual) only —
+// positions are reconstructed on-device from per-read (start, span) runs
+// (see bossruns_tpu/models/runs.py), cutting host->device transfer ~8x.
+int64_t expand_cigars_packed(const int8_t* seqs, const int8_t* quals,
+                             const int64_t* s_off,
+                             const uint32_t* cigars, const int64_t* c_off,
+                             int32_t n,
+                             int8_t* out_sym, int8_t* out_qual, int64_t cap) {
+    int64_t k = 0;
+    for (int32_t r = 0; r < n; ++r) {
+        const int8_t* s = seqs + s_off[r];
+        const int8_t* q = quals + s_off[r];
+        int64_t si = 0;
+        for (int64_t c = c_off[r]; c < c_off[r + 1]; ++c) {
+            uint32_t len = cigars[c] >> 4;
+            uint32_t op = cigars[c] & 0xF;
+            if (op == 0) {  // M
+                if (k + len > cap) return -1;
+                for (uint32_t i = 0; i < len; ++i) {
+                    out_sym[k] = s[si + i];
+                    out_qual[k] = q[si + i];
+                    ++k;
+                }
+                si += len;
+            } else if (op == 2) {  // D -> symbol 4, qual 20
+                if (k + len > cap) return -1;
+                for (uint32_t i = 0; i < len; ++i) { out_sym[k] = 4; out_qual[k] = 20; ++k; }
+            } else {
+                si += len;
+            }
+        }
+    }
+    return k;
+}
+
+}  // extern "C"

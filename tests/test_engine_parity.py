@@ -7,23 +7,35 @@ from bossruns_tpu.models.layout import build_layout
 from bossruns_tpu.models.runs import ReadBatch, RunsEngine
 
 
-def _random_batch(rng, lay, n_obs, nb=1, n_rs=300):
-    # coverage concentrated into contig prefixes so buckets switch on
-    sites = []
+def _random_batch(rng, lay, n_obs, nb=1, n_rs=300, run_len=40):
+    # coverage as short runs concentrated into contig prefixes so buckets
+    # switch on; packed per-run format (models/runs.py ReadBatch)
+    n_runs = n_obs // run_len
+    starts = []
     for c in range(lay.n_contigs):
-        span = min(25_000, int(lay.lengths[c]))
-        sites.append(lay.offsets[c] + rng.integers(0, span, n_obs // lay.n_contigs))
-    pos = np.concatenate(sites).astype(np.int32)
-    sym = lay.seq_int[pos].astype(np.int32)
+        span = min(25_000, int(lay.lengths[c])) - run_len
+        starts.append(lay.offsets[c] + rng.integers(0, span, n_runs // lay.n_contigs))
+    rstart = np.concatenate(starts).astype(np.int32)
+    rspan = np.full(rstart.shape[0], run_len, np.int32)
+    rbc = rng.integers(0, nb, rstart.shape[0]).astype(np.int32)
+    pos = np.concatenate([np.arange(s0, s0 + run_len) for s0 in rstart])
+    sym = lay.seq_int[pos].astype(np.int8)
     flip = rng.random(pos.shape[0]) < 0.05
     sym[flip] = rng.integers(0, 5, int(flip.sum()))
     m = 1 << int(np.ceil(np.log2(max(pos.shape[0], 1))))
-    pad = m - pos.shape[0]
+    r_pad = 1 << int(np.ceil(np.log2(max(rstart.shape[0], 1))))
+    sym_p = np.zeros(m, np.int8)
+    sym_p[: sym.shape[0]] = sym
+    qual_p = np.full(m, -1, np.int8)
+    qual_p[: sym.shape[0]] = 40
+    rstart_p = np.zeros(r_pad, np.int32)
+    rstart_p[: rstart.shape[0]] = rstart
+    rspan_p = np.zeros(r_pad, np.int32)
+    rspan_p[: rspan.shape[0]] = rspan
+    rbc_p = np.zeros(r_pad, np.int32)
+    rbc_p[: rbc.shape[0]] = rbc
     return dict(
-        cov_pos=np.concatenate([pos, np.zeros(pad, np.int32)]),
-        cov_sym=np.concatenate([sym, np.zeros(pad, np.int32)]),
-        cov_bc=rng.integers(0, nb, m).astype(np.int32) * np.concatenate([np.ones(pos.shape[0], np.int32), np.zeros(pad, np.int32)]),
-        cov_w=np.concatenate([np.ones(pos.shape[0], np.float32), np.zeros(pad, np.float32)]),
+        sym=sym_p, qual=qual_p, rstart=rstart_p, rspan=rspan_p, rbc=rbc_p,
         rs_row=rng.integers(0, lay.n_fhat, n_rs).astype(np.int32),
         rs_strand=rng.integers(0, 2, n_rs).astype(np.int32),
         rs_w=np.ones(n_rs, np.float32),

@@ -29,13 +29,15 @@ def test_sharded_matches_single_chip(rng):
     eng_s = ShardedRunsEngine(lay_s, mesh)
     eng_1 = RunsEngine(lay_1)
 
-    m = 1 << 15
-    pos = rng.integers(0, 100_000, m).astype(np.int32)
+    n_runs, run_len = 512, 64
+    rstart = rng.integers(0, 100_000 - run_len, n_runs).astype(np.int32)
+    pos = np.concatenate([np.arange(s0, s0 + run_len) for s0 in rstart])
     kw = dict(
-        cov_pos=pos,
-        cov_sym=lay_1.seq_int[pos].astype(np.int32),
-        cov_bc=np.zeros(m, np.int32),
-        cov_w=np.ones(m, np.float32),
+        sym=lay_1.seq_int[pos].astype(np.int8),
+        qual=np.full(pos.shape[0], 40, np.int8),
+        rstart=rstart,
+        rspan=np.full(n_runs, run_len, np.int32),
+        rbc=np.zeros(n_runs, np.int32),
         rs_row=rng.integers(0, lay_1.n_fhat, 512).astype(np.int32),
         rs_strand=rng.integers(0, 2, 512).astype(np.int32),
         rs_w=np.ones(512, np.float32),
