@@ -245,13 +245,15 @@ def _build_packed_runs_numpy(layout, record_sets, barcodes):
     )
 
 
-def pack_batch(layout, record_sets, barcodes=None, rs=None):
+def pack_batch(layout, record_sets, barcodes=None, rs=None, m_floor: int = 0):
     """Build a fully padded models.runs.ReadBatch from record sets.
 
-    rs: optional (rs_row, rs_strand, rs_w) arrays.
+    rs: optional (rs_row, rs_strand, rs_w) arrays. m_floor: never pad the
+    symbol axis below this (drivers pass the largest size seen so shrinking
+    batches — rejections truncate reads — reuse one compiled step shape).
     """
     sym, qual, rstart, rspan, rbc = build_packed_runs(layout, record_sets, barcodes)
-    m = _pad_len(sym.shape[0])
+    m = max(_pad_len(sym.shape[0]), m_floor)
     r_pad = 512
     while r_pad < rstart.shape[0]:
         r_pad *= 2

@@ -139,7 +139,11 @@ class BossRuns:
         from ..io.coo_native import pack_batch
 
         rs = coo_mod.build_read_start_rows(self.layout, rec, rows)
-        batch = pack_batch(self.layout, [(rec, rows, seqs, quals)], read_bc, rs=rs)
+        batch = pack_batch(
+            self.layout, [(rec, rows, seqs, quals)], read_bc, rs=rs,
+            m_floor=getattr(self, "_m_floor", 0),
+        )
+        self._m_floor = max(getattr(self, "_m_floor", 0), batch.sym.shape[0])
         params = self.engine.make_params(self.rl_dist.approx_ccl, self.rl_dist.time_cost)
         self.state, aux = self.engine.step(self.state, batch, params)
         self.tracker.update(len(seqs), rec, best)

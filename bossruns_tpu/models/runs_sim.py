@@ -293,7 +293,9 @@ class BossRunsSim:
             ],
             barcodes=read_bc,
             rs=(rs_row, rs_strand, rs_w),
+            m_floor=getattr(self, "_m_floor", 0),
         )
+        self._m_floor = max(getattr(self, "_m_floor", 0), batch.sym.shape[0])
         t["coo"] = _time.perf_counter()
         params = self.engine.make_params(self.rl_dist.approx_ccl, self.rl_dist.time_cost)
         self.state, aux = self.engine.step(self.state, batch, params)
