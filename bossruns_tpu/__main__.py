@@ -48,6 +48,7 @@ def main(argv=None) -> int:
             reject_refs=args.optional.reject_refs,
             ploidy=args.optional.ploidy,
             accept_unmapped=args.simulation.accept_unmapped,
+            mesh_shards=(args.tpu.mesh_barcode, args.tpu.mesh_genome),
         )
         exp.run()
         logger.info("simulation finished")

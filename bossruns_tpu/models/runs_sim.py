@@ -127,7 +127,10 @@ class BossRunsSim:
         config: RunsConfig | None = None,
         min_contig_len: int = 100_000,
         resume: bool = False,
+        mesh_shards: tuple[int, int] = (1, 1),
     ):
+        """mesh_shards: (barcode_shards, genome_shards) — > (1, 1) runs the
+        update step sharded over a device mesh (config [tpu] section)."""
         self.name = name
         self.out_dir = make_output_dirs(name, out_base)
         self.mu = MU
@@ -143,13 +146,23 @@ class BossRunsSim:
 
         contigs = load_reference_contigs(ref)
         rejects = set(reject_refs.split(",")) if reject_refs else set()
+        bshards, gshards = mesh_shards
         self.layout: GenomeLayout = build_layout(
-            contigs, n_barcodes=nb, reject_refs=rejects, min_len=min_contig_len
+            contigs, n_barcodes=nb, reject_refs=rejects, min_len=min_contig_len,
+            align_chunks=max(gshards, 1),
         )
         from ..ops.model import make_model
 
         cfg = config or RunsConfig()
-        self.engine = RunsEngine(self.layout, make_model(ploidy=ploidy), cfg)
+        if bshards * gshards > 1:
+            import jax
+
+            from ..parallel.mesh import ShardedRunsEngine, make_mesh
+
+            mesh = make_mesh(jax.devices()[: bshards * gshards], barcode_shards=bshards)
+            self.engine = ShardedRunsEngine(self.layout, mesh, make_model(ploidy=ploidy), cfg)
+        else:
+            self.engine = RunsEngine(self.layout, make_model(ploidy=ploidy), cfg)
         self.state = self.engine.init_state()
         self.rl_dist = ReadLengthDist()
         self.sampler = Sampler(

@@ -57,3 +57,21 @@ def test_sharded_matches_single_chip(rng):
     agree = (np.asarray(st_s.strat) == np.asarray(st_1.strat)).mean()
     assert agree > 0.999, agree
     assert bool(aux_s.any_on) == bool(aux_1.any_on)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_sim_driver_with_mesh(corpus, tmp_path):
+    """The [tpu] mesh config drives a sharded simulation end to end."""
+    from bossruns_tpu.models.runs_sim import BossRunsSim
+
+    sim = BossRunsSim(
+        ref=corpus["ref"], fq=corpus["fq"], paf_full=corpus["paf_full"],
+        paf_trunc=corpus["paf_trunc"], name="mesh", batchsize=120, maxb=3,
+        out_base=tmp_path, mesh_shards=(1, 4),
+    )
+    from bossruns_tpu.parallel.mesh import ShardedRunsEngine
+
+    assert isinstance(sim.engine, ShardedRunsEngine)
+    for _ in range(3):
+        sim.process_batch()
+    assert np.asarray(sim.state.coverage).sum() > 0
