@@ -96,7 +96,7 @@ def build_read_start_rows(layout: GenomeLayout, rec: PafRecords, rows: list[int]
         out_row.append(int(layout.fhat_offsets[tid]) + w_idx)
         out_strand.append(int(rec.rev[i]))
     n = len(out_row)
-    m = 512
+    m = max(512, floor)
     while m < n:
         m *= 2
     rs_row = np.zeros(m, np.int32)

@@ -138,7 +138,10 @@ class BossRuns:
         rows = list(best.values())
         from ..io.coo_native import pack_batch
 
-        rs = coo_mod.build_read_start_rows(self.layout, rec, rows)
+        rs = coo_mod.build_read_start_rows(
+            self.layout, rec, rows, floor=getattr(self, "_rs_floor", 512)
+        )
+        self._rs_floor = max(getattr(self, "_rs_floor", 512), rs[0].shape[0])
         batch = pack_batch(
             self.layout, [(rec, rows, seqs, quals)], read_bc, rs=rs,
             m_floor=getattr(self, "_m_floor", 0),

@@ -290,8 +290,9 @@ class BossRunsSim:
         full_rows = [i for kind, i in outc.cov_rows if kind == "full"]
         trunc_rows = [i for kind, i in outc.cov_rows if kind == "trunc"]
         rs_row, rs_strand, rs_w = coo_mod.build_read_start_rows(
-            self.layout, full, outc.acc_rows
+            self.layout, full, outc.acc_rows, floor=getattr(self, "_rs_floor", 512)
         )
+        self._rs_floor = max(getattr(self, "_rs_floor", 512), rs_row.shape[0])
         # abundance bookkeeping over accepted reads (runs/simulation.py:169)
         self.tracker.update(
             outc.n_accepted, full, {full.qname[i]: i for i in outc.acc_rows}
