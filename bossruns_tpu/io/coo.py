@@ -78,8 +78,12 @@ def build_coverage_coo(
     return out
 
 
-def build_read_start_rows(layout: GenomeLayout, rec: PafRecords, rows: list[int]):
-    """(rs_row, rs_strand, rs_w) arrays for accepted records."""
+def build_read_start_rows(layout: GenomeLayout, rec: PafRecords, rows: list[int],
+                          floor: int = 512):
+    """(rs_row, rs_strand, rs_w) arrays for accepted records.
+
+    floor: minimum padded length (drivers pass the largest seen so shrinking
+    acceptance counts reuse one compiled step shape)."""
     tid_of = {n: i for i, n in enumerate(layout.names)}
     out_row, out_strand = [], []
     for i in rows:
