@@ -79,3 +79,25 @@ def test_engine_matches_oracle_decisions(rng):
     assert bool(aux.updated)  # strategy actually got exercised
     frac = np.asarray(state.strat)[:, lay.strat_row_valid, :].mean()
     assert 0.0 < frac < 1.0  # some sites rejected, some accepted
+
+
+def test_engine_matches_oracle_decisions_diploid(rng):
+    from bossruns_tpu.ops.model import make_model
+
+    seq = rng.integers(0, 4, 140_000).astype(np.uint8)
+    lay = build_layout({"a": seq})
+    eng = RunsEngine(lay, make_model(ploidy=2))
+    state = eng.init_state()
+    state_np = {k: np.asarray(v) for k, v in state._asdict().items()}
+    state_np["read_starts"] = state_np["read_starts"].astype(np.float64)
+    ccl = np.array([30000, 20000, 14000, 10000, 7000, 5000, 3500, 2200, 1200, 400])
+    params = eng.make_params(ccl, 5300.0)
+    for step in range(3):
+        b = _random_batch(rng, lay, n_obs=100_000)
+        jb = ReadBatch(**{k: jnp.asarray(v) for k, v in b.items()})
+        state, aux = eng.step(state, jb, params)
+        state_np, aux_o = oracle.full_update(eng, state_np, b, ccl, 5300.0)
+        np.testing.assert_array_equal(np.asarray(state.coverage), state_np["coverage"])
+        agree = (np.asarray(state.strat) == state_np["strat"]).mean()
+        assert agree > 0.995, (step, agree)
+    assert bool(aux.updated) == aux_o["updated"]
