@@ -170,11 +170,37 @@ def _lookup_join(keys, offsets, ck, valid):
 
 
 def _vote(keys_flat, tol=DIAG_TOL):
-    """votes[i] = #anchors within tol of keys_flat[i]; -1 for sentinels."""
-    sorted_keys = jnp.sort(keys_flat, axis=1)
-    lo = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(sorted_keys, keys_flat - tol)
-    hi = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(sorted_keys, keys_flat + tol)
-    return jnp.where(keys_flat < SENTINEL, hi - lo, -1)
+    """votes[i] = #anchors within tol of keys_flat[i]; -1 for sentinels.
+
+    Row-wise sort-join instead of vmapped binary searches (gathers are the
+    bottleneck on this TPU): each row sorts (anchor values, +tol queries,
+    -tol queries) together; a cumulative max of carried ranks yields
+    rank(last anchor <= q) per query, and votes = rank(v+tol) - rank(v-tol-1).
+    Diagonals are integers, so "< v-tol" == "<= v-tol-1".
+    """
+    r, n = keys_flat.shape
+    big = jnp.iinfo(jnp.int32).max
+    v = jnp.concatenate([keys_flat, keys_flat + tol, keys_flat - tol - 1], axis=1)
+    tag = jnp.concatenate(
+        [jnp.zeros((r, n), jnp.int32), jnp.ones((r, n), jnp.int32),
+         jnp.ones((r, n), jnp.int32)], axis=1
+    )
+    rank = jnp.concatenate(
+        [jax.lax.broadcasted_iota(jnp.int32, (r, n), 1) + 1,
+         jnp.zeros((r, 2 * n), jnp.int32)], axis=1
+    )
+    # slot: where to scatter each query's carried rank (flattened, hi then lo)
+    qslot = jax.lax.broadcasted_iota(jnp.int32, (r, 2 * n), 1) + jax.lax.broadcasted_iota(
+        jnp.int32, (r, 2 * n), 0
+    ) * (2 * n)
+    slot = jnp.concatenate([jnp.full((r, n), big, jnp.int32), qslot], axis=1)
+    sv, _t, srank, sslot = jax.lax.sort((v, tag, rank, slot), num_keys=2, dimension=1)
+    crank = jax.lax.cummax(srank, axis=1)
+    flat = jnp.zeros(r * 2 * n, jnp.int32).at[sslot.reshape(-1)].set(
+        crank.reshape(-1), mode="drop"
+    ).reshape(r, 2 * n)
+    votes = flat[:, :n] - flat[:, n:]
+    return jnp.where(keys_flat < SENTINEL, votes, -1)
 
 
 @partial(jax.jit, static_argnames=("k", "w"))
