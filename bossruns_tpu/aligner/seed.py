@@ -209,7 +209,6 @@ def _seed_and_vote_jit(reads, read_lens, keys, offsets, positions, strands, n_ke
     canonical, strand, is_min = read_minimizers(reads, k, w)
     ck, cs, cpos, cvalid = compact_minimizers(canonical, strand, is_min)
     r, a = ck.shape
-    n_keys = keys.shape[0]
 
     hit_f, base_f, count_f = _lookup_join(
         keys, offsets, ck.reshape(-1), cvalid.reshape(-1)
@@ -291,7 +290,6 @@ def _seed_candidates_jit(reads, keys, offsets, positions, strands, k: int, ncand
     canonical, strand, is_min = read_minimizers(reads, k, w)
     ck, cs, cpos, cvalid = compact_minimizers(canonical, strand, is_min)
     r, a = ck.shape
-    n_keys = keys.shape[0]
 
     hit_f, base_f, count_f = _lookup_join(
         keys, offsets, ck.reshape(-1), cvalid.reshape(-1)
