@@ -185,17 +185,15 @@ def _vote(keys_flat, tol=DIAG_TOL):
         [jnp.zeros((r, n), jnp.int32), jnp.ones((r, n), jnp.int32),
          jnp.ones((r, n), jnp.int32)], axis=1
     )
-    rank = jnp.concatenate(
-        [jax.lax.broadcasted_iota(jnp.int32, (r, n), 1) + 1,
-         jnp.zeros((r, 2 * n), jnp.int32)], axis=1
-    )
     # slot: where to scatter each query's carried rank (flattened, hi then lo)
     qslot = jax.lax.broadcasted_iota(jnp.int32, (r, 2 * n), 1) + jax.lax.broadcasted_iota(
         jnp.int32, (r, 2 * n), 0
     ) * (2 * n)
     slot = jnp.concatenate([jnp.full((r, n), big, jnp.int32), qslot], axis=1)
-    sv, _t, srank, sslot = jax.lax.sort((v, tag, rank, slot), num_keys=2, dimension=1)
-    crank = jax.lax.cummax(srank, axis=1)
+    sv, stag, sslot = jax.lax.sort((v, tag, slot), num_keys=2, dimension=1)
+    # rank at a query slot = #anchors sorted before it (anchors sort first on
+    # value ties) = running count of anchor entries
+    crank = jnp.cumsum((stag == 0).astype(jnp.int32), axis=1)
     flat = jnp.zeros(r * 2 * n, jnp.int32).at[sslot.reshape(-1)].set(
         crank.reshape(-1), mode="drop"
     ).reshape(r, 2 * n)

@@ -146,3 +146,27 @@ def test_sim_with_live_alignment(corpus, tmp_path):
     for _ in range(3):
         sim.process_batch()
     assert np.asarray(sim.state.coverage).sum() > 0
+
+
+def test_vote_matches_binary_search(rng):
+    """The sort-join vote must equal the searchsorted formulation (+-1 at the
+    exact +tol boundary). A broken rank computation here silently degrades
+    overlap detection while mapping accuracy tests still pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from bossruns_tpu.aligner import seed as seed_mod
+
+    def vote_ref(keys_flat, tol=seed_mod.DIAG_TOL):
+        sorted_keys = jnp.sort(keys_flat, axis=1)
+        lo = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(sorted_keys, keys_flat - tol)
+        hi = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(sorted_keys, keys_flat + tol)
+        return jnp.where(keys_flat < seed_mod.SENTINEL, hi - lo, -1)
+
+    kf = rng.integers(0, 5000, (6, 512)).astype(np.int32)
+    kf[0, :80] = seed_mod.SENTINEL
+    kf[1, :] = 1234  # one giant cluster
+    v_new = np.asarray(seed_mod._vote(jnp.asarray(kf)))
+    v_ref = np.asarray(vote_ref(jnp.asarray(kf)))
+    assert np.abs(v_new - v_ref).max() <= 1
+    assert (v_new != v_ref).mean() < 0.1
