@@ -174,3 +174,39 @@ def test_vote_matches_binary_search(rng):
     assert (v_new >= v_ref).all()
     assert np.abs(v_new - v_ref).max() <= 4
     assert (v_new != v_ref).mean() < 0.1
+
+
+def test_lookup_join_matches_searchsorted(rng):
+    import jax.numpy as jnp
+
+    from bossruns_tpu.aligner import seed as seed_mod
+
+    # sorted unique keys with pow2 INT32_MAX padding + offsets
+    nk = 1000
+    keys_real = np.sort(rng.choice(2**20, nk, replace=False)).astype(np.int32)
+    counts = rng.integers(1, 6, nk)
+    offsets_real = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    nkp = 2048
+    keys = np.full(nkp, np.iinfo(np.int32).max, np.int32)
+    keys[:nk] = keys_real
+    offsets = np.full(nkp + 1, offsets_real[-1], np.int32)
+    offsets[: nk + 1] = offsets_real
+
+    q = np.concatenate([
+        rng.choice(keys_real, 500),                # guaranteed hits
+        rng.integers(0, 2**20, 500).astype(np.int32),  # mostly misses
+    ]).astype(np.int32)
+    valid = np.ones(q.shape[0], bool)
+    valid[::17] = False
+    hit, base, count = seed_mod._lookup_join(
+        jnp.asarray(keys), jnp.asarray(offsets), jnp.asarray(q), jnp.asarray(valid)
+    )
+    hit, base, count = map(np.asarray, (hit, base, count))
+    loc = np.searchsorted(keys_real, q)
+    loc_c = np.minimum(loc, nk - 1)
+    exp_hit = valid & (keys_real[loc_c] == q)
+    np.testing.assert_array_equal(hit, exp_hit)
+    np.testing.assert_array_equal(base[exp_hit], offsets_real[loc_c[exp_hit]])
+    np.testing.assert_array_equal(
+        count[exp_hit], offsets_real[loc_c[exp_hit] + 1] - offsets_real[loc_c[exp_hit]]
+    )
