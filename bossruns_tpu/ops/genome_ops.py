@@ -106,8 +106,12 @@ def expected_benefit(scores_ds, approx_ccl_ds, seg_start, seg_end, mu_ds: int = 
     rev = cs[..., None, 1 : n + 1] - cs_lo
     smu = jnp.stack([fwd[..., 0, :], rev[..., 0, :]], axis=-1)  # [..., n, 2]
     weights = jnp.arange(0.05, 1.0, 0.1, dtype=cs.dtype)[::-1]  # [10]
-    ebf = jnp.einsum("k,...kn->...n", weights, fwd[..., 1:, :])
-    ebr = jnp.einsum("k,...kn->...n", weights, rev[..., 1:, :])
+    # HIGHEST: keep the CCL weights and window sums in true f32 on TPU (the
+    # default truncates matmul inputs to bf16; benefit feeds a threshold scan
+    # where ~0.4% relative error moves frexp bin boundaries)
+    hp = jax.lax.Precision.HIGHEST
+    ebf = jnp.einsum("k,...kn->...n", weights, fwd[..., 1:, :], precision=hp)
+    ebr = jnp.einsum("k,...kn->...n", weights, rev[..., 1:, :], precision=hp)
     eb = jnp.stack([ebf, ebr], axis=-1)
     return smu, jnp.maximum(eb - smu, 0.0)
 

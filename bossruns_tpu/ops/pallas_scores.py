@@ -38,6 +38,7 @@ def _kernel(counts_ref, ref_ref, lphi_ref, lprior_ref, phi_ref, k_ref, out_ref,
     ll = jax.lax.dot_general(
         lphi_ref[:, :], c, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [16, B]
     # prior selection via one-hot matmul over the 4 reference bases
     ref = ref_ref[:, :]  # [1, B] int32
@@ -47,6 +48,7 @@ def _kernel(counts_ref, ref_ref, lphi_ref, lprior_ref, phi_ref, k_ref, out_ref,
     lp = ll + jax.lax.dot_general(
         lprior_ref[:, :], onehot, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [16, B]
     gt_row = jax.lax.broadcasted_iota(jnp.int32, lp.shape, 0)
     lp = jnp.where(gt_row < len_g, lp, NEG)
@@ -58,11 +60,13 @@ def _kernel(counts_ref, ref_ref, lphi_ref, lprior_ref, phi_ref, k_ref, out_ref,
     q = jax.lax.dot_general(
         phi_ref[:, :], post, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [8, B]
     qlogq = jnp.where(q > 0, q * jnp.log(jnp.where(q > 0, q, 1.0)), 0.0)
     score = jax.lax.dot_general(
         k_ref[:, :], post, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     ) - jnp.sum(qlogq, axis=0, keepdims=True)  # [1, B]
     out_ref[:, :] = score
 

@@ -58,7 +58,16 @@ def site_log_posterior(counts, ref_base, tables: ScoreTables):
     Returns log_post [..., G].
     """
     c = jnp.clip(counts[..., : tables.len_b], 0, COUNT_CLIP).astype(tables.dtype)
-    ll = jnp.dot(c, tables.log_phi, preferred_element_type=tables.dtype)
+    # Precision.HIGHEST: TPU matmuls otherwise truncate inputs to bf16, which
+    # loses integer counts > 256 and ~3 digits of log_phi — fatal for a score
+    # that is a small difference of O(1) entropy terms (the strategy feedback
+    # loop amplifies the error into divergent accept/reject trajectories).
+    ll = jnp.dot(
+        c,
+        tables.log_phi,
+        preferred_element_type=tables.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     lp = ll + tables.log_prior[ref_base]
     lse = jax.scipy.special.logsumexp(lp, axis=-1, keepdims=True)
     return lp - lse
@@ -69,7 +78,12 @@ def site_scores(counts, ref_base, tables: ScoreTables):
     log_post = site_log_posterior(counts, ref_base, tables)
     post = jnp.exp(log_post)
     entropy = -jnp.sum(post * log_post, axis=-1)
-    q = jnp.dot(post, tables.phi.T, preferred_element_type=tables.dtype)  # [..., B]
+    q = jnp.dot(
+        post,
+        tables.phi.T,
+        preferred_element_type=tables.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [..., B]
     qlogq = jnp.where(q > 0, q * jnp.log(jnp.where(q > 0, q, 1.0)), 0.0)
     score = jnp.sum(post * tables.k, axis=-1) - jnp.sum(qlogq, axis=-1)
     return score, entropy
@@ -95,13 +109,27 @@ def site_scores_t(counts_t, ref_base, tables: ScoreTables):
     dtype = tables.dtype
     c = jnp.clip(counts_t[..., : tables.len_b, :], 0, COUNT_CLIP).astype(dtype)
     # ll[..., g, n] = sum_b log_phi[b, g] * c[..., b, n]
-    ll = jnp.einsum("bg,...bn->...gn", tables.log_phi, c, preferred_element_type=dtype)
+    # HIGHEST precision: see site_log_posterior — bf16-truncated inputs corrupt
+    # the tiny score differences this pipeline thresholds on (TPU-only effect).
+    ll = jnp.einsum(
+        "bg,...bn->...gn",
+        tables.log_phi,
+        c,
+        preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     lp = ll + tables.log_prior.T[:, ref_base]  # [..., G, N]
     lse = jax.scipy.special.logsumexp(lp, axis=-2, keepdims=True)
     log_post = lp - lse
     post = jnp.exp(log_post)
     entropy = -jnp.sum(post * log_post, axis=-2)
-    q = jnp.einsum("bg,...gn->...bn", tables.phi, post, preferred_element_type=dtype)
+    q = jnp.einsum(
+        "bg,...gn->...bn",
+        tables.phi,
+        post,
+        preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     qlogq = jnp.where(q > 0, q * jnp.log(jnp.where(q > 0, q, 1.0)), 0.0)
     score = jnp.sum(post * tables.k[:, None], axis=-2) - jnp.sum(qlogq, axis=-2)
     return score, entropy

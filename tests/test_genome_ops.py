@@ -44,7 +44,9 @@ def test_expected_benefit_matches_oracle(rng):
         jnp.asarray(x)[None], jnp.asarray(ccl // 100), jnp.asarray(seg_s), jnp.asarray(seg_e)
     )
     smu_o, ben_o = oracle.expected_benefit(x, ccl)
-    np.testing.assert_allclose(np.asarray(smu_j)[0], smu_o, rtol=1e-9)
+    # rtol 1e-8: both sides are f64 cumsum differences over inputs spanning
+    # ~8 decades; eps * running-total can reach ~1e-9 relative on small windows
+    np.testing.assert_allclose(np.asarray(smu_j)[0], smu_o, rtol=1e-8, atol=1e-12)
     np.testing.assert_allclose(np.asarray(ben_j)[0], ben_o, rtol=1e-8, atol=1e-12)
 
 
