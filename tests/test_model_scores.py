@@ -106,3 +106,30 @@ def test_pallas_score_kernel_matches_jnp(rng):
         s_ref, _ = site_scores_t(jnp.asarray(counts), jnp.asarray(ref), t)
         s_pl = site_scores_pallas(jnp.asarray(counts), jnp.asarray(ref), pt, interpret=True)
         np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_ref), atol=5e-5)
+
+
+def test_score_matmuls_pin_highest_precision():
+    """Every dot_general in the scoring closed form must carry HIGHEST
+    precision. TPU matmuls otherwise truncate f32 inputs to bf16 — losing
+    counts > 256 and ~3 digits of log_phi — which the strategy feedback loop
+    amplified into a divergent accept-all trajectory in a 42-batch soak run.
+    CPU computes true f32 either way, so only this jaxpr check catches a
+    regression off-hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    from bossruns_tpu.ops.scores import ScoreTables, site_scores_t
+
+    m = make_model(ploidy=1)
+    t = ScoreTables(m, jnp.float32)
+    counts = jnp.zeros((1, 5, 256), jnp.int32)
+    ref = jnp.zeros(256, jnp.int32)
+    jaxpr = jax.make_jaxpr(lambda c, r: site_scores_t(c, r, t))(counts, ref)
+    dots = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+    assert len(dots) >= 2, "expected the ll and q contractions to be matmuls"
+    for e in dots:
+        prec = e.params.get("precision")
+        flat = prec if isinstance(prec, (tuple, list)) else (prec,)
+        assert prec is not None and all(
+            p == jax.lax.Precision.HIGHEST for p in flat
+        ), f"dot_general without HIGHEST precision: {e.params}"
