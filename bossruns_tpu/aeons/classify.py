@@ -166,3 +166,89 @@ def containment_coords_role(rec: PafRecords, i: int, query_contained: bool):
         ostart, oend = int(rec.qstart[i]), int(rec.qend[i])
         cstart, cend = int(rec.tstart[i]), int(rec.tend[i])
     return ostart, oend, oend - ostart, cstart, cend, cend - cstart
+
+
+def multiline_containments(
+    rec: PafRecords,
+    cls: Classified,
+    max_records: int = 10,
+    min_cov: float = 0.9,
+    min_span: float = 0.85,
+):
+    """Recover containments fragmented into multiple internal-match records.
+
+    Long containments accumulate indel drift, so chaining splits them into
+    several class-1 (internal match) records for the same sequence pair. The
+    reference detects these with 100-bp occupancy arrays over the contained
+    sequence (sequences.py:1373-1515): if 2..max_records same-strand records
+    jointly occupy >= min_cov of the shorter sequence and their union span is
+    >= min_span of its length, the pair is a containment and a single merged
+    record is synthesised (union of coordinates per side, summed weights).
+
+    Returns (merged PafRecords, [(row, query_contained), ...]).
+    """
+    from collections import defaultdict
+
+    groups: dict[tuple, list[int]] = defaultdict(list)
+    for i in np.flatnonzero(cls.c == 1):
+        i = int(i)
+        if rec.qname[i] != rec.tname[i]:
+            groups[(rec.qname[i], rec.tname[i], int(rec.rev[i]))].append(i)
+
+    cols: dict[str, list] = defaultdict(list)
+    roles: list[bool] = []
+    for (q, t, rev), idx in groups.items():
+        if not 2 <= len(idx) <= max_records:
+            continue
+        ql, tl = int(rec.qlen[idx[0]]), int(rec.tlen[idx[0]])
+        q_cont = ql <= tl
+        clen = min(ql, tl)
+        nbins = max(clen // 100, 1)
+        occ = np.zeros(nbins + 1, np.int32)
+        starts = (rec.qstart if q_cont else rec.tstart)[idx] // 100
+        ends = np.minimum((rec.qend if q_cont else rec.tend)[idx] // 100, nbins)
+        for s, e in zip(starts, ends):
+            if e > s:
+                occ[s] += 1
+                occ[e] -= 1
+        covered = (np.cumsum(occ[:-1]) > 0).sum() / nbins
+        span = (ends.max() - starts.min()) / nbins
+        if covered < min_cov or span < min_span:
+            continue
+        cols["qname"].append(q)
+        cols["qlen"].append(ql)
+        cols["qstart"].append(int(rec.qstart[idx].min()))
+        cols["qend"].append(int(rec.qend[idx].max()))
+        cols["rev"].append(rev)
+        cols["tname"].append(t)
+        cols["tlen"].append(tl)
+        cols["tstart"].append(int(rec.tstart[idx].min()))
+        cols["tend"].append(int(rec.tend[idx].max()))
+        cols["nmatch"].append(int(rec.nmatch[idx].sum()))
+        cols["blocklen"].append(int(rec.blocklen[idx].sum()))
+        cols["mapq"].append(int(rec.mapq[idx].max()))
+        cols["align_score"].append(int(rec.align_score[idx].sum()))
+        cols["s1"].append(int(rec.s1[idx].sum()))
+        cols["primary"].append(1)
+        roles.append(q_cont)
+
+    n = len(roles)
+    merged = PafRecords(
+        qname=np.array(cols["qname"], object),
+        qlen=np.array(cols["qlen"], np.int64),
+        qstart=np.array(cols["qstart"], np.int64),
+        qend=np.array(cols["qend"], np.int64),
+        rev=np.array(cols["rev"], np.int8),
+        tname=np.array(cols["tname"], object),
+        tlen=np.array(cols["tlen"], np.int64),
+        tstart=np.array(cols["tstart"], np.int64),
+        tend=np.array(cols["tend"], np.int64),
+        nmatch=np.array(cols["nmatch"], np.int64),
+        blocklen=np.array(cols["blocklen"], np.int64),
+        mapq=np.array(cols["mapq"], np.int64),
+        align_score=np.array(cols["align_score"], np.int64),
+        s1=np.array(cols["s1"], np.int64),
+        primary=np.array(cols["primary"], np.int8),
+        cigars=[None] * n,
+    )
+    return merged, list(enumerate(roles))

@@ -23,7 +23,8 @@ import numpy as np
 from ..io.paf import PafRecords
 from ..utils.misc import random_id
 from . import kmer
-from .classify import Classified, classify, containment_coords_role, find_trim_coords
+from .classify import (Classified, classify, containment_coords_role,
+                       find_trim_coords, multiline_containments)
 
 logger = logging.getLogger("boss_tpu")
 
@@ -270,6 +271,18 @@ class LinkStore:
                 self.trims.append((rec, i, bool(cls.qprox[i])))
         if n_inter:
             logger.info(f"vetoed {n_inter} inter-species overlaps")
+        # containments fragmented across several internal-match records by
+        # indel drift (sequences.py:1373-1515): recover them from occupancy
+        merged, roles = multiline_containments(rec, cls)
+        for row, q_cont in roles:
+            q, t = merged.qname[row], merged.tname[row]
+            if q not in pool.sequences or t not in pool.sequences:
+                continue
+            key = (q, t) if q_cont else (t, q)
+            if key not in containments:
+                containments[key] = (merged, row, q_cont)
+        if roles:
+            logger.info(f"multiline containments: {len(roles)}")
         return containments, overlappers
 
     def remove_links(self, sids: set[str]) -> None:

@@ -21,10 +21,27 @@ from .fastq import parse_barcode
 logger = logging.getLogger("boss_tpu")
 
 
+def _cache_fresh(path: Path, cache: Path) -> bool:
+    """A cached offset index is valid only for the exact file it was built
+    from: invalidate when the data file is newer or its size changed (the
+    stored size rides in a sidecar so the npy/npz format stays plain)."""
+    side = Path(f"{cache}.size")
+    try:
+        if path.stat().st_mtime > cache.stat().st_mtime:
+            return False
+        return side.exists() and int(side.read_text()) == path.stat().st_size
+    except OSError:
+        return False
+
+
+def _stamp_cache(path: Path, cache: Path) -> None:
+    Path(f"{cache}.size").write_text(str(Path(path).stat().st_size))
+
+
 def scan_fastq_offsets(path: str | Path) -> np.ndarray:
     """Byte offset of every 4-line fastq record (cached as .offsets.npy)."""
     cache = Path(f"{path}.offsets.npy")
-    if cache.exists():
+    if _cache_fresh(Path(path), cache):
         return np.load(cache)
     offsets = [0]
     with open(path, "rb") as f:
@@ -37,6 +54,7 @@ def scan_fastq_offsets(path: str | Path) -> np.ndarray:
         mm.close()
     arr = np.asarray(offsets[:-1] if k % 4 == 0 else offsets, dtype=np.uint64)
     np.save(cache, arr)
+    _stamp_cache(Path(path), cache)
     logger.info(f"scanned {arr.shape[0]} fastq record offsets for {path}")
     return arr
 
@@ -114,7 +132,7 @@ class FastqStream:
 def scan_paf_offsets(path: str | Path) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-line (qname, offset, length) index of a PAF file, cached as npz."""
     cache = Path(f"{path}.offsets.npz")
-    if cache.exists():
+    if _cache_fresh(Path(path), cache):
         with np.load(cache, allow_pickle=True) as z:
             return z["names"], z["offsets"], z["lengths"]
     names, offs, lens = [], [], []
@@ -129,6 +147,7 @@ def scan_paf_offsets(path: str | Path) -> tuple[np.ndarray, np.ndarray, np.ndarr
     offs = np.asarray(offs, dtype=np.int64)
     lens = np.asarray(lens, dtype=np.int64)
     np.savez(cache, names=names, offsets=offs, lengths=lens)
+    _stamp_cache(Path(path), cache)
     return names, offs, lens
 
 

@@ -227,3 +227,52 @@ def test_repeat_filter_drops_repeat_ended_reads(rng):
     clean = {"clean": base[32_000:37_000]}
     kept = rf.filter_batch(clean)
     assert "clean" in kept
+
+
+def test_multiline_containment_recovery():
+    """A 12 kb read contained in a 40 kb read, fragmented into 3 internal-match
+    records by indel drift, must be recovered as one merged containment
+    (sequences.py:1373-1515). Sparse fragments must NOT fire."""
+    from bossruns_tpu.aeons.classify import multiline_containments
+
+    rows = [
+        # q=small (12 kb) inside t=big (40 kb): three co-linear pieces
+        ("small", 12000, 100, 4100, 0, "big", 40000, 10100, 14100, 0),
+        ("small", 12000, 4200, 8300, 0, "big", 40000, 14250, 18300, 0),
+        ("small", 12000, 8400, 11900, 0, "big", 40000, 18400, 21900, 0),
+        # a pair with only sparse occupancy: two tiny distant pieces
+        ("x", 30000, 100, 2100, 0, "y", 35000, 100, 2100, 0),
+        ("x", 30000, 27000, 29000, 0, "y", 35000, 31000, 33000, 0),
+    ]
+    rec = _mk_records(rows)
+    cls = classify(rec)
+    assert (cls.c[:3] == 1).all(), cls.c  # all fragments are internal matches
+    merged, roles = multiline_containments(rec, cls)
+    assert len(roles) == 1
+    row, q_cont = roles[0]
+    assert q_cont and merged.qname[row] == "small" and merged.tname[row] == "big"
+    assert merged.qstart[row] == 100 and merged.qend[row] == 11900
+    assert merged.tstart[row] == 10100 and merged.tend[row] == 21900
+    assert merged.s1[row] == 60000  # summed weights
+
+
+def test_multiline_containment_feeds_increment():
+    """Through LinkStore.load_records the merged record must become a
+    containment edge and propagate coverage onto the container."""
+    pool = SequencePool(min_len=100)
+    rng = np.random.default_rng(3)
+    big = "".join(rng.choice(list("ACGT"), 40000))
+    pool.ingest({"big": big, "small": big[10100:21900]})
+    rows = [
+        ("small", 11800, 0, 4000, 0, "big", 40000, 10100, 14100, 0),
+        ("small", 11800, 4100, 8200, 0, "big", 40000, 14200, 18300, 0),
+        ("small", 11800, 8300, 11800, 0, "big", 40000, 18400, 21900, 0),
+    ]
+    store = LinkStore(tetra=False)
+    containments, _ovl = store.load_records(_mk_records(rows), pool)
+    assert ("small", "big") in containments
+    before = pool.sequences["big"].cov[10100:21900].sum()
+    contained = pool.increment(containments)
+    assert contained == {"small"}
+    after = pool.sequences["big"].cov[10100:21900].sum()
+    assert after > before  # contained read's coverage landed on the container
