@@ -49,6 +49,7 @@ def main(argv=None) -> int:
             ploidy=args.optional.ploidy,
             accept_unmapped=args.simulation.accept_unmapped,
             mesh_shards=(args.tpu.mesh_barcode, args.tpu.mesh_genome),
+            resume=args.optional.resume,
         )
         exp.run()
         logger.info("simulation finished")

@@ -49,6 +49,7 @@ class OptionalConfig(BaseModel):
     tetra: bool = Field(default=True, description="[debug] Switch tetranucleotide frequency tests")
     filter_repeats: bool = Field(default=False, description="[debug] Switch repeat filtering")
     bucket_threshold: int = Field(default=5, description="[debug] At which coverage to switch on the strategy in a bucket")
+    resume: bool = Field(default=False, description="Resume from the checkpoint in out_<name>/checkpoint (live + sim)")
 
 
 class SimulationConfig(BaseModel):
@@ -108,7 +109,8 @@ class Config:
         init_logger(self.logfile)
         logging.getLogger("boss_tpu").info(self.args.model_dump())
 
-        if self.args.live.device:
+        # device TEST dry-runs without readfish, so nothing to cross-validate
+        if self.args.live.device and self.args.live.device != "TEST":
             self._verify_region_names(self.args, args_readfish)
             self._validate_readfish_conf(args_readfish)
 

@@ -20,6 +20,7 @@ from ..io import coo as coo_mod
 from ..io.fastq import FastqBatch
 from ..io.paf import PafRecords, best_per_query
 from ..live.sequencer import LiveRun, Sequencer
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.misc import make_output_dirs, write_strategy_npz
 from ..utils.readlen import ReadLengthDist
 from .layout import GenomeLayout, build_layout
@@ -84,6 +85,24 @@ class BossRuns:
 
             mapper = TpuAligner(self.layout)
         self.mapper = mapper
+        # live checkpoint/resume (an addition over the reference, whose live
+        # process loses all posteriors on a crash — SURVEY.md §5): device
+        # state, batch counter, rl histogram and the processed-files set
+        self.checkpoint_every = 10
+        if getattr(args.optional, "resume", False):
+            restored = load_checkpoint(self.out_dir, type(self.state))
+            if restored is not None:
+                self.state, host, extra = restored
+                self.batch = int(host.get("batch", 0))
+                self.rl_dist.hist = extra.get("rl_hist", self.rl_dist.hist)
+                self.rl_dist.update([])
+                self.processed_files = set(
+                    np.asarray(extra.get("processed", np.zeros(0, "U1"))).tolist()
+                )
+                logger.info(
+                    f"resumed live run at batch {self.batch} "
+                    f"({len(self.processed_files)} files already processed)"
+                )
         write_strategy_npz(self.out_dir, self.engine.strat_dict(self.state))
 
     # ------------------------------------------------------------- live -----
@@ -121,6 +140,16 @@ class BossRuns:
         self.process_reads(fq.read_sequences, fq.read_qualities, fq.read_barcodes)
         wait = int(self.args.general.wait - (time.time() - tic))
         self.batch += 1
+        if self.checkpoint_every and self.batch % self.checkpoint_every == 0:
+            save_checkpoint(
+                self.out_dir,
+                self.state,
+                dict(batch=self.batch),
+                extra_arrays={
+                    "rl_hist": self.rl_dist.hist,
+                    "processed": np.array(sorted(self.processed_files), dtype="U"),
+                },
+            )
         logger.info(f"batch took {time.time() - tic:.2f}s; waiting {wait}s")
         return wait
 

@@ -103,3 +103,40 @@ def test_scan_dir_patterns(tmp_path):
     assert len(found) == 3
     found2 = LiveRun.scan_dir(str(root), set(found))
     assert found2 == []
+
+
+def test_live_checkpoint_resume(corpus, tmp_path, monkeypatch):
+    """Live mode persists device state + processed-files set and resumes
+    without re-processing old fastq files (addition over the reference,
+    which loses all posteriors on a crash — SURVEY.md §5)."""
+    monkeypatch.chdir(tmp_path)
+    fqdir = tmp_path / "run" / "fastq_pass"
+    fqdir.mkdir(parents=True)
+    lines = Path(corpus["fq"]).read_text().splitlines(keepends=True)
+    half = len(lines) // 8 // 4 * 4
+    (fqdir / "batch1.fq").write_text("".join(lines[:half]))
+
+    args = BossConfig()
+    args.general.name = "ckpt"
+    args.general.ref = corpus["ref"]
+    args.general.wait = 1
+
+    exp = BossRuns(args, out_base=tmp_path)
+    exp.checkpoint_every = 1
+    exp.fq_dir = str(fqdir)
+    exp.channels = set()
+    exp.process_batch()
+    cov_before = np.asarray(exp.state.coverage).sum()
+    assert (tmp_path / "out_ckpt" / "checkpoint" / "state.npz").exists()
+
+    # "crash" and restart with resume: same coverage, file not re-processed
+    args.optional.resume = True
+    exp2 = BossRuns(args, out_base=tmp_path)
+    exp2.fq_dir = str(fqdir)
+    exp2.channels = set()
+    assert exp2.batch == 1
+    assert np.asarray(exp2.state.coverage).sum() == cov_before
+    assert exp2.processed_files == {str(fqdir / "batch1.fq")}
+    # no new files: deferred, coverage unchanged
+    assert exp2.process_batch() == args.general.wait
+    assert np.asarray(exp2.state.coverage).sum() == cov_before
