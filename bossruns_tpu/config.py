@@ -153,7 +153,15 @@ class Config:
         for section_name, section in BossConfig.model_fields.items():
             out += f"\n[{section_name}]"
             for key, field in section.annotation.model_fields.items():  # type: ignore
-                kv = f"{key} = {field.default!r}"
+                d = field.default
+                if d is None:  # TOML has no null: ship unset keys commented out
+                    kv = f"# {key} ="
+                elif isinstance(d, bool):
+                    kv = f"{key} = {str(d).lower()}"
+                elif isinstance(d, str):
+                    kv = f'{key} = "{d}"'
+                else:
+                    kv = f"{key} = {d}"
                 out += f"\n{kv:<{col}}  # {field.description}"
             out += "\n"
         path.write_text(out)
