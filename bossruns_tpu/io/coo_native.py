@@ -245,33 +245,103 @@ def _build_packed_runs_numpy(layout, record_sets, barcodes):
     )
 
 
-def pack_batch(layout, record_sets, barcodes=None, rs=None, m_floor: int = 0):
+def split_runs(layout, sym, qual, rstart, rspan, rbc, qt: int = 0, len_b: int = 5):
+    """Split per-base observations into match runs + explicit COO.
+
+    Returns (mr_flat, mr_len, ex_flat) int32 UNPADDED (see
+    models.runs.ReadBatch). C fast path with a vectorised NumPy fallback.
+    """
+    G = layout.G_pad
+    ref = layout.seq_int.astype(np.int8)
+    m = sym.shape[0]
+    if m == 0:
+        z = np.zeros(0, np.int32)
+        return z, z.copy(), z.copy()
+    lib = native_mod._load()
+    if lib is not None:
+        if not hasattr(lib, "_split_ready"):
+            lib.split_match_runs.restype = ctypes.c_int64
+            lib.split_match_runs.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+            ]
+            lib._split_ready = True
+        cap = m + 1
+        mr_flat = np.empty(cap, np.int32)
+        mr_len = np.empty(cap, np.int32)
+        ex_flat = np.empty(cap, np.int32)
+        c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        sym8 = np.ascontiguousarray(sym, np.int8)
+        qual8 = np.ascontiguousarray(qual, np.int8)
+        packed = lib.split_match_runs(
+            c(sym8), c(qual8), m,
+            c(np.ascontiguousarray(rstart, np.int32)),
+            c(np.ascontiguousarray(rspan, np.int32)),
+            c(np.ascontiguousarray(rbc, np.int32)), np.int32(rstart.shape[0]),
+            c(ref), G, np.int32(qt), np.int32(len_b),
+            c(mr_flat), c(mr_len), cap, c(ex_flat), cap,
+        )
+        assert packed >= 0
+        nr, ne = packed >> 32, packed & 0xFFFFFFFF
+        return mr_flat[:nr].copy(), mr_len[:nr].copy(), ex_flat[:ne].copy()
+
+    # NumPy fallback: expand positions, find match-run boundaries
+    prefix = np.concatenate([[0], np.cumsum(rspan)])
+    pos = np.concatenate(
+        [np.arange(s, s + sp) for s, sp in zip(rstart, rspan)]
+    ).astype(np.int64) if m else np.zeros(0, np.int64)
+    bc = np.repeat(rbc.astype(np.int64), rspan)
+    valid = (qual >= qt) & (pos < G)
+    if len_b == 4:
+        valid &= sym != 4
+    is_match = valid & (sym == ref[np.minimum(pos, G - 1)])
+    cont = (
+        is_match[1:] & is_match[:-1]
+        & (pos[1:] == pos[:-1] + 1) & (bc[1:] == bc[:-1])
+    )
+    # read boundaries always break runs (adjacent reads are adjacent in the
+    # arrays but arbitrary in the genome; pos-continuity mostly covers this)
+    bnd = prefix[1:-1] - 1
+    cont[bnd[bnd >= 0]] = False
+    starts = np.flatnonzero(is_match & ~np.concatenate([[False], cont]))
+    ends = np.flatnonzero(is_match & ~np.concatenate([cont, [False]]))
+    mr_flat = (bc[starts] * G + pos[starts]).astype(np.int32)
+    mr_len = (ends - starts + 1).astype(np.int32)
+    expl = valid & ~is_match
+    ex_flat = (
+        (bc[expl] * 5 + sym[expl]) * G + pos[expl]
+    ).astype(np.int32)
+    return mr_flat, mr_len, ex_flat
+
+
+def pack_batch(layout, record_sets, barcodes=None, rs=None,
+               floors=(0, 0), qt: int = 0, len_b: int = 5):
     """Build a fully padded models.runs.ReadBatch from record sets.
 
-    rs: optional (rs_row, rs_strand, rs_w) arrays. m_floor: never pad the
-    symbol axis below this (drivers pass the largest size seen so shrinking
-    batches — rejections truncate reads — reuse one compiled step shape).
+    rs: optional (rs_row, rs_strand, rs_w) arrays. floors: (mr_floor,
+    ex_floor) minimum pad sizes — drivers pass the largest sizes seen so
+    shrinking batches reuse one compiled step shape.
     """
     sym, qual, rstart, rspan, rbc = build_packed_runs(layout, record_sets, barcodes)
-    m = max(_pad_len(sym.shape[0]), m_floor)
-    r_pad = 512
-    while r_pad < rstart.shape[0]:
-        r_pad *= 2
-    sym_p = np.zeros(m, np.int8)
-    qual_p = np.full(m, -1, np.int8)  # padding weight 0
-    sym_p[: sym.shape[0]] = sym
-    qual_p[: qual.shape[0]] = qual
-    rstart_p = np.zeros(r_pad, np.int32)
-    rspan_p = np.zeros(r_pad, np.int32)
-    rbc_p = np.zeros(r_pad, np.int32)
-    rstart_p[: rstart.shape[0]] = rstart
-    rspan_p[: rspan.shape[0]] = rspan
-    rbc_p[: rbc.shape[0]] = rbc
+    mr_flat, mr_len, ex_flat = split_runs(layout, sym, qual, rstart, rspan, rbc, qt, len_b)
+    rm = max(_pad_len(mr_flat.shape[0]), floors[0])
+    me = max(_pad_len(ex_flat.shape[0]), floors[1])
+    mr_flat_p = np.zeros(rm, np.int32)
+    mr_len_p = np.zeros(rm, np.int32)   # len 0 = padding
+    ex_flat_p = np.zeros(me, np.int32)
+    ex_w_p = np.zeros(me, np.int8)      # weight 0 = padding
+    mr_flat_p[: mr_flat.shape[0]] = mr_flat
+    mr_len_p[: mr_len.shape[0]] = mr_len
+    ex_flat_p[: ex_flat.shape[0]] = ex_flat
+    ex_w_p[: ex_flat.shape[0]] = 1
     from ..models.runs import ReadBatch
 
     if rs is None:
         rs = (np.zeros(512, np.int32), np.zeros(512, np.int32), np.zeros(512, np.float32))
     return ReadBatch(
-        sym=sym_p, qual=qual_p, rstart=rstart_p, rspan=rspan_p, rbc=rbc_p,
+        mr_flat=mr_flat_p, mr_len=mr_len_p, ex_flat=ex_flat_p, ex_w=ex_w_p,
         rs_row=rs[0], rs_strand=rs[1], rs_w=rs[2],
     )

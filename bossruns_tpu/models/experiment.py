@@ -173,15 +173,17 @@ class BossRuns:
         self._rs_floor = max(getattr(self, "_rs_floor", 512), rs[0].shape[0])
         batch = pack_batch(
             self.layout, [(rec, rows, seqs, quals)], read_bc, rs=rs,
-            m_floor=getattr(self, "_m_floor", 0),
+            floors=getattr(self, "_batch_floors", (0, 0)),
+            len_b=self.engine.model.len_b,
         )
-        self._m_floor = max(getattr(self, "_m_floor", 0), batch.sym.shape[0])
+        self._batch_floors = (batch.mr_flat.shape[0], batch.ex_flat.shape[0])
         params = self.engine.make_params(self.rl_dist.approx_ccl, self.rl_dist.time_cost)
         self.state, aux = self.engine.step(self.state, batch, params)
+        ah = self.engine.pull_aux(aux)  # single D2H pull of all step scalars
         self.tracker.update(len(seqs), rec, best)
-        if bool(aux.updated):
+        if ah.updated:
             write_strategy_npz(self.out_dir, self.engine.strat_dict(self.state))
-            logger.info(f"strategy updated, threshold {float(aux.threshold):.4g}")
+            logger.info(f"strategy updated, threshold {ah.threshold:.4g}")
 
     def run(self) -> None:
         self.launch_live_components()

@@ -48,22 +48,24 @@ class GenomeState(NamedTuple):
 
 
 class ReadBatch(NamedTuple):
-    """Packed per-read-run batch (host-built).
+    """Match-run + explicit-observation batch (host-built).
 
-    Coverage arrives as runs: run r covers target sites
-    [rstart[r], rstart[r] + rspan[r]) with per-site symbols/quals stored
-    contiguously in ``sym``/``qual`` (int8 — ~8x less host->device transfer
-    than per-site COO triplets). Site indices and barcode columns are
-    reconstructed on device with a scatter + cumulative sum. Entries past
-    sum(rspan) must carry qual < 0 (weight 0); runs past the real read count
-    carry rspan 0.
+    ~90-95% of aligned bases match the reference, in runs broken only by
+    errors, so coverage splits into (a) reference-match intervals added on
+    device with a +1/-1 boundary scatter and a cumulative sum and (b) an
+    explicit COO of mismatch/deletion observations. One scatter row per
+    interval/exception instead of per base: ~10x fewer rows through the
+    dominant scatter (the per-base form cost ~180 ms of a ~230 ms step at
+    4000-read batches), and ~10x less host->device transfer again. Quality
+    masking (qual < qt) and the 4-symbol model's deletion drop are applied
+    host-side (io/coo_native.py + native/split_match_runs). Padding: match
+    runs carry mr_len 0; explicit entries carry ex_w 0.
     """
 
-    sym: jax.Array      # [M] int8 observed symbol 0..4 (4 = deletion)
-    qual: jax.Array     # [M] int8 phred (< 0 on padding)
-    rstart: jax.Array   # [R] int32 global target start of run r
-    rspan: jax.Array    # [R] int32 covered sites of run r
-    rbc: jax.Array      # [R] int32 barcode of run r
+    mr_flat: jax.Array   # [RM] int32 flat bc*G + gstart of a match run
+    mr_len: jax.Array    # [RM] int32 run length (0 = padding)
+    ex_flat: jax.Array   # [ME] int32 flat (bc*5 + sym)*G + gpos
+    ex_w: jax.Array      # [ME] int8 1 = valid, 0 = padding
     rs_row: jax.Array    # [Rs] int32 global fhat window row
     rs_strand: jax.Array  # [Rs] int32 0=fwd 1=rev
     rs_w: jax.Array      # [Rs] f32
@@ -80,6 +82,21 @@ class StepAux(NamedTuple):
     updated: jax.Array       # bool — strategy was recomputed this step
     threshold: jax.Array     # f32 — accept threshold (benefit units)
     mean_coverage: jax.Array  # f32 — mean site coverage over real sites
+    vec: jax.Array           # f32[4] — the four scalars packed for one D2H pull
+
+
+class AuxHost(NamedTuple):
+    """Host copy of StepAux, fetched with a single device->host transfer.
+
+    One D2H round trip costs ~33 ms on a tunneled TPU regardless of size, so
+    reading the four aux scalars field-by-field costs more than the whole
+    compute of the update step. Always pull via RunsEngine.pull_aux.
+    """
+
+    any_on: bool
+    updated: bool
+    threshold: float
+    mean_coverage: float
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,6 +140,11 @@ class RunsEngine:
         assert lay.n_barcodes * lay.G_pad * 5 < 2**31, "genome too large for single-chip int32 scatter; shard it"
         # device constants
         self.c_seq = jnp.asarray(lay.seq_int, jnp.int32)
+        # one-hot reference (int8 [5, G]): reconstructs per-symbol counts from
+        # match-interval coverage (a matching base observes ref_base[g])
+        self.c_onehot_ref = jnp.asarray(
+            (lay.seq_int[None, :] == np.arange(5)[:, None]).astype(np.int8)
+        )
         self.c_site_valid = jnp.asarray(lay.site_valid())
         self.c_contig_id_ds = jnp.asarray(np.where(lay.contig_id_ds < 0, lay.n_contigs, lay.contig_id_ds), jnp.int32)
         self.c_seg_start = jnp.asarray(lay.ds_seg_start, jnp.int32)
@@ -169,36 +191,28 @@ class RunsEngine:
         Gd = G // DS
 
         # -- 1. coverage increments ------------------------------------------
-        # expand per-read runs to site indices: pos[i] = i + adj where adj is
-        # piecewise-constant per run (rstart_r - prefix_r), materialised by a
-        # scatter of deltas + cumulative sum (no gathers)
-        m = batch.sym.shape[0]
-        rspan = batch.rspan
-        prefix = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(rspan, dtype=jnp.int32)[:-1]]
+        # match runs: +1/-1 interval boundaries scattered into [nb*G], then a
+        # cumulative sum materialises per-site match counts. Explicit
+        # (mismatch/deletion) observations are a plain flat scatter. The
+        # reconstruction inc = explicit + onehot(ref) * match is exact: a
+        # matching base is by definition an observation of ref_base[g].
+        nbG = nb * G
+        sign = (batch.mr_len > 0).astype(jnp.int32)
+        bounds = (
+            jnp.zeros(nbG + 1, jnp.int32)
+            .at[batch.mr_flat].add(sign, mode="drop")
+            .at[batch.mr_flat + batch.mr_len].add(-sign, mode="drop")
         )
-        seg_adj = batch.rstart - prefix
-        d_adj = jnp.diff(seg_adj, prepend=jnp.zeros(1, jnp.int32))
-        adj = jnp.cumsum(jnp.zeros(m, jnp.int32).at[prefix].add(d_adj, mode="drop"))
-        pos = jnp.arange(m, dtype=jnp.int32) + adj
-        d_bc = jnp.diff(batch.rbc, prepend=jnp.zeros(1, jnp.int32))
-        bc = jnp.cumsum(jnp.zeros(m, jnp.int32).at[prefix].add(d_bc, mode="drop"))
-        sym = batch.sym.astype(jnp.int32)
-        w = (batch.qual >= self.config.qt).astype(dtype)
-        if self.model.len_b == 4:
-            # deletion observations are ignored entirely in the 4-symbol model
-            # (sequences.py:417-418 zeroes the deletion column)
-            w = jnp.where(sym == 4, 0.0, w)
-        w = jnp.where(pos < G, w, 0.0)
+        match_inc = jnp.cumsum(bounds[:nbG]).reshape(nb, G)
         # single flat-index scatter: the multi-index-array form lowers to a
         # ~1000x slower XLA scatter path on TPU (see bench notes)
-        flat = (bc * 5 + sym) * G + jnp.minimum(pos, G - 1)
-        inc = (
+        exp_inc = (
             jnp.zeros(nb * 5 * G, jnp.int32)
-            .at[flat]
-            .add(w.astype(jnp.int32), mode="drop")
+            .at[batch.ex_flat]
+            .add(batch.ex_w.astype(jnp.int32), mode="drop")
             .reshape(nb, 5, G)
         )
+        inc = exp_inc + self.c_onehot_ref[None] * match_inc[:, None, :]
         coverage = state.coverage + inc
         # change flag per site: any barcode/symbol touched (reference.py:142
         # flags whole rows of the change mask)
@@ -294,15 +308,26 @@ class RunsEngine:
             read_starts=read_starts,
             strat=strat,
         )
+        mean_cov = jnp.sum(covsum_f) / self.n_real_sites
         aux = StepAux(
             any_on=any_on,
             updated=do_update,
             threshold=res.threshold,
-            mean_coverage=jnp.sum(covsum_f) / self.n_real_sites,
+            mean_coverage=mean_cov,
+            vec=jnp.stack([
+                any_on.astype(dtype), do_update.astype(dtype),
+                res.threshold.astype(dtype), mean_cov.astype(dtype),
+            ]),
         )
         return new_state, aux
 
     # ----------------------------------------------------------- host side --
+
+    @staticmethod
+    def pull_aux(aux: StepAux) -> AuxHost:
+        """Fetch all step scalars in ONE device->host transfer (see AuxHost)."""
+        v = np.asarray(aux.vec)
+        return AuxHost(bool(v[0]), bool(v[1]), float(v[2]), float(v[3]))
 
     def strat_dict(self, state: GenomeState) -> dict[str, np.ndarray]:
         """Per-contig strategy arrays in the reference npz convention:

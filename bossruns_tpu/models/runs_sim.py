@@ -307,21 +307,22 @@ class BossRunsSim:
             ],
             barcodes=read_bc,
             rs=(rs_row, rs_strand, rs_w),
-            m_floor=getattr(self, "_m_floor", 0),
+            floors=getattr(self, "_batch_floors", (0, 0)),
+            len_b=self.engine.model.len_b,
         )
-        self._m_floor = max(getattr(self, "_m_floor", 0), batch.sym.shape[0])
+        self._batch_floors = (batch.mr_flat.shape[0], batch.ex_flat.shape[0])
         t["coo"] = _time.perf_counter()
         params = self.engine.make_params(self.rl_dist.approx_ccl, self.rl_dist.time_cost)
         self.state, aux = self.engine.step(self.state, batch, params)
-        import jax as _jax
-
-        _jax.block_until_ready(self.state.strat)
+        # ONE device->host pull for all step scalars: each separate transfer
+        # costs a ~33 ms tunnel round trip, more than the step's compute
+        ah = self.engine.pull_aux(aux)
         t["device"] = _time.perf_counter()
 
-        if bool(aux.updated):
+        if ah.updated:
             self.strat_host = self.engine.strat_dict(self.state)
             write_strategy_npz(self.out_dir, self.strat_host)
-            logger.info(f"strategy updated, threshold {float(aux.threshold):.3g}")
+            logger.info(f"strategy updated, threshold {ah.threshold:.3g}")
 
         # pseudotime + read dumps
         decided_bases = sum(len(s) for s in outc.reads_decision.values())
@@ -346,9 +347,9 @@ class BossRunsSim:
             n_mapped=outc.n_mapped,
             n_accepted=outc.n_accepted,
             n_rejected=outc.n_rejected,
-            updated=bool(aux.updated),
-            threshold=float(aux.threshold),
-            mean_coverage=float(aux.mean_coverage),
+            updated=ah.updated,
+            threshold=ah.threshold,
+            mean_coverage=ah.mean_coverage,
             time_boss=self.read_cache.time_boss,
             time_control=self.read_cache.time_control,
             lam=self.rl_dist.lam,

@@ -223,24 +223,24 @@ def full_update(engine, state_np: dict, batch_np: dict, approx_ccl, time_cost,
     tiny = np.finfo(np.float64).tiny
 
     cov = state_np["coverage"].copy()  # [NB, 5, G] genome-on-lanes layout
-    # expand the packed per-read runs like the device step does
-    rspan = np.asarray(batch_np["rspan"], np.int64)
-    total = int(rspan.sum())
-    pos = (
-        np.concatenate(
-            [np.arange(st, st + sp) for st, sp in zip(batch_np["rstart"], rspan)]
-        ).astype(np.int64)
-        if total
-        else np.zeros(0, np.int64)
-    )
-    bc = np.repeat(np.asarray(batch_np["rbc"], np.int64), rspan)
-    sym = np.asarray(batch_np["sym"][:total], np.int64)
-    qual = np.asarray(batch_np["qual"][:total])
-    w = (qual >= 0).astype(np.float64)  # qt = 0
-    if model.len_b == 4:
-        w = np.where(sym == 4, 0.0, w)
-    inc = np.zeros_like(cov)
-    np.add.at(inc, (bc, sym, pos), w.astype(cov.dtype))
+    # expand match runs + explicit observations like the device step does
+    # (quality masking already happened host-side when the batch was built)
+    inc = np.zeros_like(cov).reshape(-1)
+    mr_flat = np.asarray(batch_np["mr_flat"], np.int64)
+    mr_len = np.asarray(batch_np["mr_len"], np.int64)
+    seq_i = lay.seq_int.astype(np.int64)
+    sel = mr_len > 0
+    flat0, ln = mr_flat[sel], mr_len[sel]
+    if flat0.size:
+        total = int(ln.sum())
+        off = np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(ln)[:-1]]), ln)
+        idx = np.repeat(flat0, ln) + off
+        b, g = np.divmod(idx, G)
+        np.add.at(inc, (b * 5 + seq_i[g]) * G + g, 1)
+    ex_flat = np.asarray(batch_np["ex_flat"], np.int64)
+    ex_w = np.asarray(batch_np["ex_w"], np.int64)
+    np.add.at(inc, ex_flat, ex_w)
+    inc = inc.reshape(cov.shape)
     cov += inc
     changed_site = (inc != 0).any(axis=(0, 1))
 

@@ -119,13 +119,19 @@ def demo_sharded_step(n_devices: int | None = None, barcode_shards: int = 1, see
     n_runs, run_len = 512, 64
     rstart = rng.integers(0, 140_000 - run_len, n_runs).astype(np.int32)
     pos = np.concatenate([np.arange(s0, s0 + run_len) for s0 in rstart])
+    from ..io.coo_native import split_runs
+
+    mr_flat, mr_len, ex_flat = split_runs(
+        layout, layout.seq_int[pos].astype(np.int8),
+        np.full(pos.shape[0], 40, np.int8), rstart,
+        np.full(n_runs, run_len, np.int32),
+        rng.integers(0, nb, n_runs).astype(np.int32),
+    )
     batch = eng.put_batch(
         ReadBatch(
-            sym=layout.seq_int[pos].astype(np.int8),
-            qual=np.full(pos.shape[0], 40, np.int8),
-            rstart=rstart,
-            rspan=np.full(n_runs, run_len, np.int32),
-            rbc=rng.integers(0, nb, n_runs).astype(np.int32),
+            mr_flat=mr_flat, mr_len=mr_len,
+            ex_flat=np.zeros(max(ex_flat.shape[0], 16), np.int32),
+            ex_w=np.zeros(max(ex_flat.shape[0], 16), np.int8),
             rs_row=rng.integers(0, layout.n_fhat, 512).astype(np.int32),
             rs_strand=rng.integers(0, 2, 512).astype(np.int32),
             rs_w=np.ones(512, np.float32),

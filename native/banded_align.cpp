@@ -275,3 +275,67 @@ int64_t expand_cigars_packed(const int8_t* seqs, const int8_t* quals,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Split per-base observations into reference-match runs + explicit non-match
+// COO. Matches dominate (~90-95%) and form intervals, so the device can add
+// them with a +1/-1 boundary scatter and a cumulative sum instead of one
+// scatter row per base (~10x fewer scatter rows; the coverage scatter is the
+// dominant step cost at production batch sizes). Deletions (symbol 4) and
+// mismatches go to the explicit list. Bases with qual < qt are dropped, as
+// are symbol-4 bases when len_b == 4 (the 4-symbol observation model ignores
+// deletions, sequences.py:417-418).
+// Outputs: mr_flat/mr_len (match runs, flat = bc*G + gstart) and ex_flat
+// (explicit, flat = (bc*5+sym)*G + gpos). Returns (n_runs << 32) | n_explicit,
+// or -1 if a cap would be exceeded.
+int64_t split_match_runs(const int8_t* sym, const int8_t* qual, int64_t m,
+                         const int32_t* rstart, const int32_t* rspan,
+                         const int32_t* rbc, int32_t n_reads,
+                         const int8_t* ref, int64_t G,
+                         int32_t qt, int32_t len_b,
+                         int32_t* mr_flat, int32_t* mr_len, int64_t mr_cap,
+                         int32_t* ex_flat, int64_t ex_cap) {
+    int64_t nr = 0, ne = 0;
+    int64_t base = 0;
+    (void)m;
+    for (int32_t r = 0; r < n_reads; ++r) {
+        int64_t g0 = rstart[r];
+        int64_t span = rspan[r];
+        int64_t bcg = (int64_t)rbc[r] * G;
+        int64_t run_start = -1;
+        for (int64_t i = 0; i < span; ++i) {
+            int64_t g = g0 + i;
+            int8_t s = sym[base + i];
+            bool valid = qual[base + i] >= qt && g < G &&
+                         !(len_b == 4 && s == 4);
+            bool match = valid && s == ref[g];
+            if (match) {
+                if (run_start < 0) run_start = g;
+            } else {
+                if (run_start >= 0) {
+                    if (nr >= mr_cap) return -1;
+                    mr_flat[nr] = (int32_t)(bcg + run_start);
+                    mr_len[nr] = (int32_t)(g - run_start);
+                    ++nr;
+                    run_start = -1;
+                }
+                if (valid) {
+                    if (ne >= ex_cap) return -1;
+                    ex_flat[ne] = (int32_t)(((int64_t)rbc[r] * 5 + s) * G + g);
+                    ++ne;
+                }
+            }
+        }
+        if (run_start >= 0) {
+            if (nr >= mr_cap) return -1;
+            mr_flat[nr] = (int32_t)(bcg + run_start);
+            mr_len[nr] = (int32_t)(g0 + span - run_start);
+            ++nr;
+        }
+        base += span;
+    }
+    return (nr << 32) | ne;
+}
+
+}  // extern "C"

@@ -7,9 +7,11 @@ from bossruns_tpu.models.layout import build_layout
 from bossruns_tpu.models.runs import ReadBatch, RunsEngine
 
 
-def _random_batch(rng, lay, n_obs, nb=1, n_rs=300, run_len=40):
+def _random_batch(rng, lay, n_obs, nb=1, n_rs=300, run_len=40, len_b=5):
     # coverage as short runs concentrated into contig prefixes so buckets
-    # switch on; packed per-run format (models/runs.py ReadBatch)
+    # switch on; match-run + explicit format (models/runs.py ReadBatch)
+    from bossruns_tpu.io.coo_native import split_runs
+
     n_runs = n_obs // run_len
     starts = []
     for c in range(lay.n_contigs):
@@ -22,20 +24,16 @@ def _random_batch(rng, lay, n_obs, nb=1, n_rs=300, run_len=40):
     sym = lay.seq_int[pos].astype(np.int8)
     flip = rng.random(pos.shape[0]) < 0.05
     sym[flip] = rng.integers(0, 5, int(flip.sum()))
-    m = 1 << int(np.ceil(np.log2(max(pos.shape[0], 1))))
-    r_pad = 1 << int(np.ceil(np.log2(max(rstart.shape[0], 1))))
-    sym_p = np.zeros(m, np.int8)
-    sym_p[: sym.shape[0]] = sym
-    qual_p = np.full(m, -1, np.int8)
-    qual_p[: sym.shape[0]] = 40
-    rstart_p = np.zeros(r_pad, np.int32)
-    rstart_p[: rstart.shape[0]] = rstart
-    rspan_p = np.zeros(r_pad, np.int32)
-    rspan_p[: rspan.shape[0]] = rspan
-    rbc_p = np.zeros(r_pad, np.int32)
-    rbc_p[: rbc.shape[0]] = rbc
+    qual = np.full(pos.shape[0], 40, np.int8)
+    mr_flat, mr_len, ex_flat = split_runs(lay, sym, qual, rstart, rspan, rbc, 0, len_b)
+    rm = 1 << int(np.ceil(np.log2(max(mr_flat.shape[0], 4))))
+    me = 1 << int(np.ceil(np.log2(max(ex_flat.shape[0], 4))))
+    mr_flat_p = np.zeros(rm, np.int32); mr_flat_p[: mr_flat.shape[0]] = mr_flat
+    mr_len_p = np.zeros(rm, np.int32); mr_len_p[: mr_len.shape[0]] = mr_len
+    ex_flat_p = np.zeros(me, np.int32); ex_flat_p[: ex_flat.shape[0]] = ex_flat
+    ex_w_p = np.zeros(me, np.int8); ex_w_p[: ex_flat.shape[0]] = 1
     return dict(
-        sym=sym_p, qual=qual_p, rstart=rstart_p, rspan=rspan_p, rbc=rbc_p,
+        mr_flat=mr_flat_p, mr_len=mr_len_p, ex_flat=ex_flat_p, ex_w=ex_w_p,
         rs_row=rng.integers(0, lay.n_fhat, n_rs).astype(np.int32),
         rs_strand=rng.integers(0, 2, n_rs).astype(np.int32),
         rs_w=np.ones(n_rs, np.float32),

@@ -29,15 +29,23 @@ def test_sharded_matches_single_chip(rng):
     eng_s = ShardedRunsEngine(lay_s, mesh)
     eng_1 = RunsEngine(lay_1)
 
+    from bossruns_tpu.io.coo_native import split_runs
+
     n_runs, run_len = 512, 64
     rstart = rng.integers(0, 100_000 - run_len, n_runs).astype(np.int32)
     pos = np.concatenate([np.arange(s0, s0 + run_len) for s0 in rstart])
+    sym = lay_1.seq_int[pos].astype(np.int8)
+    flip = rng.random(pos.shape[0]) < 0.08
+    sym[flip] = rng.integers(0, 5, int(flip.sum()))
+    mr_flat, mr_len, ex_flat = split_runs(
+        lay_1, sym, np.full(pos.shape[0], 40, np.int8), rstart,
+        np.full(n_runs, run_len, np.int32), np.zeros(n_runs, np.int32),
+    )
+    me = 1 << int(np.ceil(np.log2(max(ex_flat.shape[0], 4))))
+    ex_flat_p = np.zeros(me, np.int32); ex_flat_p[: ex_flat.shape[0]] = ex_flat
+    ex_w_p = np.zeros(me, np.int8); ex_w_p[: ex_flat.shape[0]] = 1
     kw = dict(
-        sym=lay_1.seq_int[pos].astype(np.int8),
-        qual=np.full(pos.shape[0], 40, np.int8),
-        rstart=rstart,
-        rspan=np.full(n_runs, run_len, np.int32),
-        rbc=np.zeros(n_runs, np.int32),
+        mr_flat=mr_flat, mr_len=mr_len, ex_flat=ex_flat_p, ex_w=ex_w_p,
         rs_row=rng.integers(0, lay_1.n_fhat, 512).astype(np.int32),
         rs_strand=rng.integers(0, 2, 512).astype(np.int32),
         rs_w=np.ones(512, np.float32),
