@@ -22,12 +22,12 @@ graph:
 """
 from __future__ import annotations
 
+import hashlib
 import logging
 
 import numpy as np
 
 from ..io.paf import revcomp
-from ..utils.misc import random_id
 from .pool import LinkStore, Sequence, SequencePool
 
 logger = logging.getLogger("boss_tpu")
@@ -217,7 +217,10 @@ def _merge_path(pool: SequencePool, ends, path, circular) -> Sequence | None:
     last, last_orient = path[-1]
     cap_l = bool(ends.get((first, "L" if first_orient == "+" else "R")))
     cap_r = bool(ends.get((last, "R" if last_orient == "+" else "L")))
-    u = Sequence(f"utg_{random_id(12)}", seq, cov=cov, components=components,
+    # content-derived id: reproducible across runs/resumes (a random id makes
+    # dict ordering — and thus near-threshold strategy bits — RNG-dependent)
+    uid = hashlib.sha1(seq.encode()).hexdigest()[:12]
+    u = Sequence(f"utg_{uid}", seq, cov=cov, components=components,
                  atoms=atoms, cap_l=cap_l or circular, cap_r=cap_r or circular)
     if circular:
         u.acceptor = False

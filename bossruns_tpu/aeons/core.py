@@ -212,27 +212,40 @@ class BossAeons:
             pool_size=len(self.pool.sequences),
             threshold=threshold,
         )
-        if self.checkpoint_every and self.batch % self.checkpoint_every == 0:
-            self.save_checkpoint()
+
+    def _checkpoint_extra(self) -> dict:
+        """Subclass hook: extra host state to persist (sim pseudotime etc.)."""
+        return {}
 
     def save_checkpoint(self) -> None:
-        """Persist the host pool + strategy atomically (the AEONS state is
-        host-resident; the reference has no checkpointing at all)."""
+        """Persist the host pool + overlap store + strategy atomically (the
+        AEONS state is host-resident; the reference has no checkpointing)."""
         ckpt = Path(self.out_dir) / "checkpoint"
         ckpt.mkdir(parents=True, exist_ok=True)
         tmp = ckpt / "pool_tmp.pkl"
-        with open(tmp, "wb") as fh:
-            pickle.dump(
-                {"pool": self.pool, "strat": self.strat, "batch": self.batch,
-                 "rl_hist": self.rl_dist.hist},
-                fh,
+        data = {
+            "pool": self.pool, "strat": self.strat, "batch": self.batch,
+            "rl_hist": self.rl_dist.hist,
+            "store": self.store,
+            "processed_files": self.processed_files,
+            **self._checkpoint_extra(),
+        }
+        if self.repeat_filter is not None:
+            data["repeat_lib"] = (
+                self.repeat_filter.repeats,
+                self.repeat_filter.lim,
+                self.repeat_filter.min_votes,
             )
+        with open(tmp, "wb") as fh:
+            pickle.dump(data, fh)
         tmp.rename(ckpt / "pool.pkl")
 
-    def load_checkpoint(self) -> bool:
+    def load_checkpoint(self) -> dict | None:
+        """Restore the pool/store/strategy; returns the raw checkpoint dict
+        (for subclass extras) or None if absent."""
         path = Path(self.out_dir) / "checkpoint" / "pool.pkl"
         if not path.exists():
-            return False
+            return None
         with open(path, "rb") as fh:
             data = pickle.load(fh)
         self.pool = data["pool"]
@@ -240,8 +253,15 @@ class BossAeons:
         self.batch = data["batch"]
         self.rl_dist.hist = data["rl_hist"]
         self.rl_dist.update([])
+        self.store = data.get("store", self.store)
+        self.processed_files = data.get("processed_files", self.processed_files)
+        if "repeat_lib" in data:
+            from .repeats import RepeatFilter
+
+            reps, lim, mv = data["repeat_lib"]
+            self.repeat_filter = RepeatFilter.from_library(reps, lim, mv)
         logger.info(f"restored AEONS checkpoint at batch {self.batch}")
-        return True
+        return data
 
     # ------------------------------------------------------------- live -----
 
@@ -257,11 +277,19 @@ class BossAeons:
         self.rl_dist.update(np.fromiter(fq.read_lengths.values(), dtype=np.int64))
         self.update_wrapper(fq.read_sequences)
         self.batch += 1
+        # save AFTER the increment: the persisted counter must equal the number
+        # of consumed batches so a resume does not re-process the last one
+        if self.checkpoint_every and self.batch % self.checkpoint_every == 0:
+            self.save_checkpoint()
         return int(self.args.general.wait - (time.time() - tic))
 
     def run(self) -> None:
         self.launch_live_components()
-        self.first_live_asm()
+        resumed = False
+        if getattr(self.args.optional, "resume", False):
+            resumed = self.load_checkpoint() is not None
+        if not resumed:
+            self.first_live_asm()
         while True:
             wait = self.process_batch()
             if wait > 0:

@@ -21,7 +21,6 @@ from collections import Counter
 import numpy as np
 
 from ..io.paf import PafRecords
-from ..utils.misc import random_id
 from . import kmer
 from .classify import (Classified, classify, containment_coords_role,
                        find_trim_coords, multiline_containments)

@@ -80,6 +80,17 @@ class RepeatFilter:
         )
         self._lib_index = PoolIndex(self.repeats) if self.repeats else None
 
+    @classmethod
+    def from_library(cls, repeats: dict[str, str], lim: float, min_votes: int = 3):
+        """Rebuild a filter from a persisted repeat library (checkpoint resume);
+        the library is the only state `filter_batch` depends on."""
+        self = cls.__new__(cls)
+        self.min_votes = min_votes
+        self.lim = lim
+        self.repeats = dict(repeats)
+        self._lib_index = PoolIndex(self.repeats) if self.repeats else None
+        return self
+
     def filter_batch(self, seq_dict: dict[str, str]) -> dict[str, str]:
         """Drop reads with repeat hits near either end (repeats.py:160-202)."""
         if self._lib_index is None or not seq_dict:

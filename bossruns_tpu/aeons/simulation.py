@@ -31,7 +31,23 @@ class BossAeonsSim(BossAeons):
         self.sampler = Sampler(sim.fq, batchsize=sim.batchsize, maxbatch=sim.maxb + sim.binit)
         self.read_cache = ReadCache(sim.batchsize, sim.dumptime, out_base=out_base)
         self.maxb = sim.maxb
-        self._initial_asm()
+        data = None
+        if getattr(args.optional, "resume", False):
+            data = self.load_checkpoint()
+        if data is None:
+            self._initial_asm()
+        else:
+            # crash-resume: restore pseudotime and skip consumed batches so
+            # the sampler continues from where the killed run stopped
+            self.read_cache.time_boss = int(data.get("time_boss", 0))
+            self.read_cache.time_control = int(data.get("time_control", 0))
+            self.sampler.fq_stream.offsets = self.sampler.fq_stream.offsets[self.batch:]
+
+    def _checkpoint_extra(self) -> dict:
+        return {
+            "time_boss": self.read_cache.time_boss,
+            "time_control": self.read_cache.time_control,
+        }
 
     def _initial_asm(self) -> None:
         init_reads: dict[str, str] = {}
@@ -110,8 +126,15 @@ class BossAeonsSim(BossAeons):
         self.read_cache.fill(seqs, decisions)
         self.update_wrapper(new_reads=decisions)
         self.batch += 1
+        # after the increment: persisted counter == consumed batches (resume
+        # slices the sampler offsets by it)
+        if self.checkpoint_every and self.batch % self.checkpoint_every == 0:
+            self.save_checkpoint()
 
     def run(self, maxb: int | None = None) -> None:
-        for _ in range(maxb or self.maxb):
+        # self.batch counts binit initial batches too; on resume, run only
+        # the remainder up to binit + maxb total batches
+        end = self.args.simulation.binit + (maxb or self.maxb)
+        while self.batch < end:
             self.process_batch()
         self.read_cache.flush()
