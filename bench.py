@@ -79,6 +79,9 @@ def main():
     # later runs (and driver rounds) hit the cache
     jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # production decision precision: f64 benefit/threshold (TPU emulates f64
+    # as a float-float pair; the arrays are genome/100-sized so this is cheap)
+    jax.config.update("jax_enable_x64", True)
 
     from bossruns_tpu import oracle
     from bossruns_tpu.models.runs import ReadBatch, RunsEngine

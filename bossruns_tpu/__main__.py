@@ -17,6 +17,11 @@ logger = logging.getLogger("boss_tpu")
 
 
 def main(argv=None) -> int:
+    # the decision path (benefit sums, threshold scan) runs in f64 — see
+    # RunsConfig.benefit_dtype; without x64 it silently falls back to f32
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
     conf = Config(parse=True, argv=argv)
     args = conf.args
     sim = bool(args.simulation.fq)

@@ -83,6 +83,7 @@ class StepAux(NamedTuple):
     threshold: jax.Array     # f32 — accept threshold (benefit units)
     mean_coverage: jax.Array  # f32 — mean site coverage over real sites
     vec: jax.Array           # f32[4] — the four scalars packed for one D2H pull
+    scores: jax.Array | None = None  # [NB, G] post-mask scores (debug_aux only)
 
 
 class AuxHost(NamedTuple):
@@ -111,6 +112,15 @@ class RunsConfig:
     fhat_p0: float = 0.1
     on_target: float = 1.0
     dtype: str = "float32"
+    # decision-path precision: benefit window sums, fhat and the threshold
+    # scan run in this dtype (scores stay in `dtype`). float64 makes the
+    # strategy decisions match a sequential f64 implementation to ~1 ulp —
+    # the BASELINE "bit-identical decisions" contract — for ~zero cost: the
+    # arrays are genome/100 sized and f64 elementwise is cheap on TPU v5e.
+    # Falls back to f32 automatically when jax x64 is disabled.
+    benefit_dtype: str = "float64"
+    # return the post-mask score array in StepAux (parity tests/debugging)
+    debug_aux: bool = False
     # fused Pallas score kernel (ops/pallas_scores.py). Measured neutral-to-
     # slightly-slower than the XLA closed form inside the full step (XLA fuses
     # the masking chain into the score math); kept as an option.
@@ -130,6 +140,16 @@ class RunsEngine:
         self.config = config
         self.model = model if model is not None else make_model(ploidy=1)
         self.dtype = jnp.dtype(config.dtype)
+        # canonicalize: float64 becomes float32 when jax x64 is disabled
+        self.benefit_dtype = jax.dtypes.canonicalize_dtype(jnp.dtype(config.benefit_dtype))
+        if self.benefit_dtype != jnp.dtype(config.benefit_dtype):
+            import logging
+
+            logging.getLogger("boss_tpu").warning(
+                "jax x64 is disabled: decision path falls back to float32 "
+                "(enable with jax.config.update('jax_enable_x64', True) for "
+                "f64-exact strategy decisions)"
+            )
         self.tables = ScoreTables(self.model, self.dtype)
         self.tiny = float(np.finfo(self.dtype).tiny)
 
@@ -269,11 +289,17 @@ class RunsEngine:
         any_on = jnp.any(bucket_on)
 
         # -- 4. fhat ---------------------------------------------------------
+        # the decision path (fhat, benefit sums, threshold scan) runs in
+        # benefit_dtype (f64 by default): counts are integer-exact in f32, so
+        # casting up reproduces a pure-f64 pipeline bit-for-bit while per-site
+        # scores stay f32 (see RunsConfig.benefit_dtype)
+        bdt = self.benefit_dtype
         read_starts = gops.scatter_add_2d(
             state.read_starts, batch.rs_row, batch.rs_strand, batch.rs_w
         )
         fhat_w = gops.fhat_pointmass(
-            read_starts, self.c_fhat_valid, self.layout.n_fhat, cfg.fhat_alpha, cfg.fhat_p0
+            read_starts.astype(bdt), self.c_fhat_valid, self.layout.n_fhat,
+            cfg.fhat_alpha, cfg.fhat_p0,
         )  # [Wf, 2]
         fidx = self.c_fhat_idx
         fhat_exp = jnp.where(
@@ -283,7 +309,7 @@ class RunsEngine:
         fhat_exp = fhat_exp * jnp.where(tot > 0, cfg.on_target / tot, 0.0)
 
         # -- 5. benefit ------------------------------------------------------
-        scores_ds = jnp.sum(scores.reshape(nb, Gd, DS), axis=2)  # [NB, Gd]
+        scores_ds = jnp.sum(scores.reshape(nb, Gd, DS), axis=2, dtype=bdt)  # [NB, Gd]
         smu, benefit = gops.expected_benefit(
             scores_ds,
             jnp.maximum(params.approx_ccl // DS, 1),
@@ -294,7 +320,7 @@ class RunsEngine:
 
         # -- 6. threshold + gated strategy ------------------------------------
         fhat_b = jnp.broadcast_to(fhat_exp[None], benefit.shape)
-        res = gops.find_strategy(benefit, smu, fhat_b, params.time_cost.astype(dtype))
+        res = gops.find_strategy(benefit, smu, fhat_b, params.time_cost.astype(bdt))
         bidx = self.c_bucket_idx
         gate = jnp.take(bucket_on, jnp.maximum(bidx, 0), axis=1) & (bidx >= 0)[None, :]  # [NB, Gd]
         do_update = any_on & res.any_nonzero
@@ -318,6 +344,7 @@ class RunsEngine:
                 any_on.astype(dtype), do_update.astype(dtype),
                 res.threshold.astype(dtype), mean_cov.astype(dtype),
             ]),
+            scores=scores if cfg.debug_aux else None,
         )
         return new_state, aux
 

@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ----------------------------------------------------------------- scatter --
@@ -89,6 +90,14 @@ def expected_benefit(scores_ds, approx_ccl_ds, seg_start, seg_end, mu_ds: int = 
 
     benefit = sum_i weight_i * window_sum(ccl_i) - smu, clipped >= 0, with the
     10 CCL piece weights 0.95..0.05 (runs/reference.py:241-269).
+
+    Decision-precision contract: pass scores_ds in float64 (of f32 per-site
+    scores). f64 sums of f32 values are exact for any reduction order until
+    the running magnitude spends the 29 spare mantissa bits, so the window
+    sums here match a sequential numpy f64 implementation to ~1 ulp; the
+    weighted accumulation below is an UNROLLED sequential chain in the same
+    order as the reference loop (reference.py:253-264) so no reassociation
+    is introduced where full-mantissa f64 products are summed.
     """
     n = scores_ds.shape[-1]
     rows = jnp.arange(n, dtype=jnp.int32)
@@ -105,13 +114,14 @@ def expected_benefit(scores_ds, approx_ccl_ds, seg_start, seg_end, mu_ds: int = 
     fwd = cs_hi - cs[..., None, :n]          # [..., 11, n]
     rev = cs[..., None, 1 : n + 1] - cs_lo
     smu = jnp.stack([fwd[..., 0, :], rev[..., 0, :]], axis=-1)  # [..., n, 2]
-    weights = jnp.arange(0.05, 1.0, 0.1, dtype=cs.dtype)[::-1]  # [10]
-    # HIGHEST: keep the CCL weights and window sums in true f32 on TPU (the
-    # default truncates matmul inputs to bf16; benefit feeds a threshold scan
-    # where ~0.4% relative error moves frexp bin boundaries)
-    hp = jax.lax.Precision.HIGHEST
-    ebf = jnp.einsum("k,...kn->...n", weights, fwd[..., 1:, :], precision=hp)
-    ebr = jnp.einsum("k,...kn->...n", weights, rev[..., 1:, :], precision=hp)
+    # host-side f64 weight constants (bit-identical to the numpy oracle's);
+    # python floats are weak-typed so the array dtype is preserved
+    weights = [float(w) for w in np.arange(0.05, 1.0, 0.1)[::-1]]  # [10]
+    ebf = weights[0] * fwd[..., 1, :]
+    ebr = weights[0] * rev[..., 1, :]
+    for k in range(1, 10):
+        ebf = ebf + weights[k] * fwd[..., 1 + k, :]
+        ebr = ebr + weights[k] * rev[..., 1 + k, :]
     eb = jnp.stack([ebf, ebr], axis=-1)
     return smu, jnp.maximum(eb - smu, 0.0)
 
@@ -148,24 +158,51 @@ def fhat_pointmass(read_starts, row_valid, n_windows: int, alpha: float = 1.0, p
 
 # -------------------------------------------------------- threshold scan ----
 
+def _pow2_i32(e):
+    """Exact 2.0**e as f32 for integer e in [-126, 127] (exponent-field
+    construction; no transcendental rounding)."""
+    return jax.lax.bitcast_convert_type(
+        ((e + 127) << 23).astype(jnp.int32), jnp.float32
+    )
+
+
 def frexp_abs_exponent(x, nbins: int):
     """|numpy.frexp exponent| of positive floats, clamped to [0, nbins-1].
 
-    Exact IEEE-bit extraction (no log2 rounding at bin edges). Subnormals are
-    sent to the top bin — their benefit is ~0 and never near the threshold.
+    Exact IEEE semantics (no log2 rounding at bin edges). Values below the
+    representable range go to the top bin — their benefit is ~0 and never
+    near the threshold.
+
+    The f64 path deliberately avoids 64-bit bitcasts: TPU implements f64 as
+    a float-float pair and its compiler rejects s64 bitcast-convert in the
+    X64-removal pass. Instead the exponent is read from the f32 downcast and
+    then corrected against exact power-of-two bounds, which reproduces
+    numpy.frexp exactly on CPU and to emulation precision on TPU.
     """
     if x.dtype == jnp.float32:
         bits = jax.lax.bitcast_convert_type(x, jnp.int32)
         biased = (bits >> 23) & 0xFF
         e = biased - 126
-    elif x.dtype == jnp.float64:
-        bits = jax.lax.bitcast_convert_type(x, jnp.int64)
-        biased = ((bits >> 52) & 0x7FF).astype(jnp.int32)
-        e = biased - 1022
-    else:
+        a = jnp.abs(e.astype(jnp.int32))
+        a = jnp.where(biased == 0, nbins - 1, a)  # subnormal
+        return jnp.minimum(a, nbins - 1)
+    if x.dtype != jnp.float64:
         raise TypeError(x.dtype)
-    a = jnp.abs(e.astype(jnp.int32))
-    a = jnp.where(biased == 0, nbins - 1, a)  # subnormal
+    x32 = x.astype(jnp.float32)
+    b1 = (jax.lax.bitcast_convert_type(x32, jnp.int32) >> 23) & 0xFF
+    small = b1 == 0  # below f32-normal range: rescale into it
+    xs = jnp.where(small, x * (2.0**64), x)  # pow2 multiply: exact in f64
+    xs32 = xs.astype(jnp.float32)
+    b2 = (jax.lax.bitcast_convert_type(xs32, jnp.int32) >> 23) & 0xFF
+    es = b2 - 126  # frexp exponent of xs, up to f32 rounding at bin edges
+    # f32 rounding can misplace values within half an ulp of 2^k by one bin;
+    # correct with exact f64 comparisons against the true bounds
+    hi = _pow2_i32(es).astype(x.dtype)        # 2^es
+    lo = _pow2_i32(es - 1).astype(x.dtype)    # 2^(es-1)
+    es = es + jnp.where(xs >= hi, 1, 0) - jnp.where(xs < lo, 1, 0)
+    e = es - jnp.where(small, 64, 0)
+    a = jnp.abs(e)
+    a = jnp.where(b2 == 0, nbins - 1, a)  # below 2^-190: effectively zero
     return jnp.minimum(a, nbins - 1)
 
 

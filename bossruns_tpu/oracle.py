@@ -191,10 +191,16 @@ def fhat_pointmass(read_starts: np.ndarray, alpha: float = 1.0, p0: float = 0.1)
     """
     n_windows = read_starts.shape[0]
     csum = read_starts.sum()
-    denom = 2 * n_windows * alpha + csum
+    denom = 2.0 * n_windows * alpha + csum
     fhat = (alpha + read_starts) / denom
-    beta_num = np.exp(betaln(alpha, (2 * n_windows - 1) * alpha + csum))
-    beta_denom = np.exp(betaln(alpha, (2 * n_windows - 1) * alpha)) or 1e-20
+    if alpha == 1.0:
+        # B(1, z) = 1/z exactly — matches ops/genome_ops.fhat_pointmass's
+        # closed form bit-for-bit (exp(betaln) would round differently)
+        beta_num = 1.0 / ((2.0 * n_windows - 1.0) + csum)
+        beta_denom = 1.0 / (2.0 * n_windows - 1.0)
+    else:
+        beta_num = np.exp(betaln(alpha, (2 * n_windows - 1) * alpha + csum))
+        beta_denom = np.exp(betaln(alpha, (2 * n_windows - 1) * alpha)) or 1e-20
     p0_bit = p0 / (p0 + (1 - p0))
     expected_post = (1 - p0_bit * (beta_num / beta_denom)) * (alpha / denom)
     out = np.where(read_starts > 0, fhat, expected_post)
@@ -204,8 +210,14 @@ def fhat_pointmass(read_starts: np.ndarray, alpha: float = 1.0, p0: float = 0.1)
 # ----------------------------------------------------- full pipeline oracle --
 
 def full_update(engine, state_np: dict, batch_np: dict, approx_ccl, time_cost,
-                bucket_threshold: float = 5.0, fast_scores: bool = False):
+                bucket_threshold: float = 5.0, fast_scores: bool = False,
+                scores_override: np.ndarray | None = None):
     """Float64 numpy reference of one full RunsEngine step.
+
+    scores_override: [NB, G] post-mask per-site scores to use INSTEAD of the
+    oracle's own f64 scores — pass the engine's f32 scores (StepAux.scores
+    under debug_aux) to test the benefit/fhat/threshold pipeline for exact
+    f64 agreement in isolation from score precision.
 
     engine: a models.runs.RunsEngine (used only for its layout/model/config).
     state_np: dict of numpy arrays mirroring GenomeState fields.
@@ -269,6 +281,8 @@ def full_update(engine, state_np: dict, batch_np: dict, approx_ccl, time_cost,
     hold_zero = state_np["zeroed"] & ~recomputed
     scores = np.where(hold_zero | drop_now, 0.0, scores)
     zeroed = drop_now | hold_zero
+    if scores_override is not None:
+        scores = np.asarray(scores_override, np.float64)
 
     # buckets
     cc = np.concatenate([np.zeros((nb, 1)), np.cumsum(covsum_ds, axis=1)], axis=1)

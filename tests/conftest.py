@@ -20,6 +20,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# sitecustomize may have registered (even initialized) the axon TPU plugin
+# before this conftest ran; the env var alone is then too late — pin the
+# platform through jax.config as well so a bare `pytest` never hits the TPU
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,10 +1,18 @@
-"""Full update-step parity: f32 TPU engine vs f64 numpy oracle pipeline."""
+"""Full update-step parity: TPU engine vs f64 numpy oracle pipeline.
+
+Decision-precision contract (BASELINE.md "bit-identical decisions"): per-site
+scores are f32 (score correctness is covered by test_model_scores and
+test_reference_goldens); everything downstream — benefit window sums, fhat,
+the frexp threshold scan, the accept/reject comparison — runs in f64 on
+device and must agree EXACTLY with the sequential numpy f64 oracle given the
+same scores, over a 20-batch soak. No tolerance.
+"""
 import jax.numpy as jnp
 import numpy as np
 
 from bossruns_tpu import oracle
 from bossruns_tpu.models.layout import build_layout
-from bossruns_tpu.models.runs import ReadBatch, RunsEngine
+from bossruns_tpu.models.runs import ReadBatch, RunsConfig, RunsEngine
 
 
 def _random_batch(rng, lay, n_obs, nb=1, n_rs=300, run_len=40, len_b=5):
@@ -40,24 +48,22 @@ def _random_batch(rng, lay, n_obs, nb=1, n_rs=300, run_len=40, len_b=5):
     )
 
 
-def test_engine_matches_oracle_decisions(rng):
-    seqA = rng.integers(0, 4, 150_000).astype(np.uint8)
-    seqB = rng.integers(0, 4, 120_000).astype(np.uint8)
-    lay = build_layout({"a": seqA, "b": seqB})
-    eng = RunsEngine(lay)
+def _soak(rng, lay, eng, n_steps, n_obs, ccl, tc):
+    """Run engine + oracle side by side; demand exact decision agreement."""
     state = eng.init_state()
     state_np = {k: np.asarray(v) for k, v in state._asdict().items()}
     state_np["read_starts"] = state_np["read_starts"].astype(np.float64)
-    ccl = np.array([30000, 20000, 14000, 10000, 7000, 5000, 3500, 2200, 1200, 400])
-    tc = 5300.0
     params = eng.make_params(ccl, tc)
-
-    for step in range(4):
-        b = _random_batch(rng, lay, n_obs=120_000)
+    updated_steps = 0
+    for step in range(n_steps):
+        b = _random_batch(rng, lay, n_obs=n_obs)
         jb = ReadBatch(**{k: jnp.asarray(v) for k, v in b.items()})
         state, aux = eng.step(state, jb, params)
-        state_np, aux_o = oracle.full_update(eng, state_np, b, ccl, tc)
-
+        # same f32 scores into the oracle: isolates the f64 decision pipeline
+        scores = np.asarray(aux.scores)
+        state_np, aux_o = oracle.full_update(
+            eng, state_np, b, ccl, tc, scores_override=scores
+        )
         assert bool(aux.any_on) == aux_o["any_on"], step
         assert bool(aux.updated) == aux_o["updated"], step
         np.testing.assert_array_equal(
@@ -66,15 +72,32 @@ def test_engine_matches_oracle_decisions(rng):
         np.testing.assert_array_equal(
             np.asarray(state.bucket_on), state_np["bucket_on"], err_msg=f"step {step}"
         )
-        np.testing.assert_allclose(
-            np.asarray(state.read_starts), state_np["read_starts"], rtol=1e-6
+        np.testing.assert_array_equal(
+            np.asarray(state.read_starts, np.float64), state_np["read_starts"]
         )
-        # decision-level parity: strategies may differ only at exponent-bin
-        # edges; demand near-identity
-        agree = (np.asarray(state.strat) == state_np["strat"]).mean()
-        assert agree > 0.995, (step, agree)
+        # EXACT strategy agreement — the whole point of the f64 decision path
+        np.testing.assert_array_equal(
+            np.asarray(state.strat), state_np["strat"], err_msg=f"step {step}"
+        )
+        if aux_o["updated"]:
+            updated_steps += 1
+            # norm/max can differ by ~1 ulp where XLA's scan rounds; decisions
+            # above are still demanded exact
+            np.testing.assert_allclose(
+                float(aux.threshold), aux_o["threshold"], rtol=1e-12
+            )
+    return state, updated_steps
 
-    assert bool(aux.updated)  # strategy actually got exercised
+
+def test_engine_matches_oracle_decisions_exactly(rng):
+    seqA = rng.integers(0, 4, 150_000).astype(np.uint8)
+    seqB = rng.integers(0, 4, 120_000).astype(np.uint8)
+    lay = build_layout({"a": seqA, "b": seqB})
+    eng = RunsEngine(lay, config=RunsConfig(debug_aux=True))
+    assert eng.benefit_dtype == jnp.float64  # x64 on in tests
+    ccl = np.array([30000, 20000, 14000, 10000, 7000, 5000, 3500, 2200, 1200, 400])
+    state, updated = _soak(rng, lay, eng, n_steps=20, n_obs=120_000, ccl=ccl, tc=5300.0)
+    assert updated >= 15  # strategy actually exercised through the soak
     frac = np.asarray(state.strat)[:, lay.strat_row_valid, :].mean()
     assert 0.0 < frac < 1.0  # some sites rejected, some accepted
 
@@ -84,18 +107,7 @@ def test_engine_matches_oracle_decisions_diploid(rng):
 
     seq = rng.integers(0, 4, 140_000).astype(np.uint8)
     lay = build_layout({"a": seq})
-    eng = RunsEngine(lay, make_model(ploidy=2))
-    state = eng.init_state()
-    state_np = {k: np.asarray(v) for k, v in state._asdict().items()}
-    state_np["read_starts"] = state_np["read_starts"].astype(np.float64)
+    eng = RunsEngine(lay, make_model(ploidy=2), RunsConfig(debug_aux=True))
     ccl = np.array([30000, 20000, 14000, 10000, 7000, 5000, 3500, 2200, 1200, 400])
-    params = eng.make_params(ccl, 5300.0)
-    for step in range(3):
-        b = _random_batch(rng, lay, n_obs=100_000)
-        jb = ReadBatch(**{k: jnp.asarray(v) for k, v in b.items()})
-        state, aux = eng.step(state, jb, params)
-        state_np, aux_o = oracle.full_update(eng, state_np, b, ccl, 5300.0)
-        np.testing.assert_array_equal(np.asarray(state.coverage), state_np["coverage"])
-        agree = (np.asarray(state.strat) == state_np["strat"]).mean()
-        assert agree > 0.995, (step, agree)
-    assert bool(aux.updated) == aux_o["updated"]
+    state, updated = _soak(rng, lay, eng, n_steps=5, n_obs=100_000, ccl=ccl, tc=5300.0)
+    assert updated >= 2
