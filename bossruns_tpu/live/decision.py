@@ -34,6 +34,11 @@ class Decision(str, Enum):
     multi_off = "multi_off"
     no_map = "no_map"
     no_seq = "no_seq"
+    # override outcomes recorded by the hot loop (readfish_boss.py:296-445)
+    above_max_chunks = "above_max_chunks"
+    below_min_chunks = "below_min_chunks"
+    first_read_override = "first_read_override"
+    duplex_override = "duplex_override"
 
 
 class StrategyStore:

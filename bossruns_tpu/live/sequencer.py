@@ -116,10 +116,50 @@ class LiveRun:
         return sorted(set(found) - set(processed_files))
 
     @staticmethod
+    def search_running_process(keywords: list[str]) -> int | None:
+        """PID of a live process whose cmdline contains all keywords, else
+        None (reference boss/utils.py:231-245)."""
+        try:
+            import psutil
+        except ImportError:
+            # scan /proc directly — same result without the dependency
+            proc = Path("/proc")
+            me = str(Path(__file__))
+            for pid_dir in proc.iterdir():
+                if not pid_dir.name.isdigit():
+                    continue
+                try:
+                    cmd = (pid_dir / "cmdline").read_bytes().replace(b"\0", b" ").decode()
+                except OSError:
+                    continue
+                if cmd and all(k in cmd for k in keywords) and me not in cmd.split()[:1]:
+                    return int(pid_dir.name)
+            return None
+        for p in psutil.process_iter(["pid", "cmdline"]):
+            try:
+                cmd = " ".join(p.info["cmdline"] or [])
+            except (psutil.NoSuchProcess, psutil.AccessDenied):
+                continue
+            if cmd and all(k in cmd for k in keywords):
+                return int(p.info["pid"])
+        return None
+
+    @staticmethod
     def launch_readfish(toml: str, device: str, name: str, dry: bool = False) -> subprocess.Popen | None:
         """Spawn the BOSS-modified readfish entry point in the background
-        (live.py:238-268). device == 'TEST' short-circuits for tests."""
+        (live.py:238-268). device == 'TEST' short-circuits for tests.
+
+        A readfish_boss already driving this device is left alone (reference
+        live.py:252-253): double-launching would corrupt the channels.toml
+        handshake and double-issue unblock commands.
+        """
         if device == "TEST":
+            return None
+        existing = LiveRun.search_running_process(["readfish_boss", device])
+        if existing is not None:
+            logger.info(
+                f"readfish_boss already running for {device} (pid {existing}); not launching again"
+            )
             return None
         script = Path(__file__).parent / "readfish_boss.py"
         stamp = time.strftime("%Y%m%d-%H%M%S")
