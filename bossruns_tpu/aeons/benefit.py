@@ -34,12 +34,16 @@ NBINS = 192
 
 
 @partial(jax.jit, static_argnames=())
-def _contig_benefit_jit(cov_chunked, seg_start, seg_end, row_valid, noi,
-                        e_l, e_r, lowcov, ccl_ds, mu_ds):
+def _strategy_jit(cov_chunked, seg_start, seg_end, row_valid, noi,
+                  e_l, e_r, lowcov, ccl_ds, mu_ds, tc, tbar0):
     """cov_chunked [N] f32 (sum of per-base cov per 100-chunk); seg_* [N];
     noi [N] bool (end nodes of interest); e_l/e_r [N] bool (row is in a
     segment whose left/right end is uncapped).
-    Returns (benefit [N,2], smu [N,2], scores [N])."""
+
+    One fused kernel: benefit windows AND the threshold scan — smu_sum stays
+    a device scalar instead of forcing a host round trip between two jits
+    (a D2H sync costs ~33 ms on a tunneled chip, more than the compute).
+    Returns (benefit [N,2], vec [2] = [threshold, any_nonzero])."""
     cov_mean = jnp.minimum(jnp.floor(cov_chunked / NODE), 100.0)
     scores = 1.0 / (jnp.exp(cov_mean - lowcov) + 1.0)
     scores = jnp.where(noi, 1.0, scores)
@@ -70,11 +74,9 @@ def _contig_benefit_jit(cov_chunked, seg_start, seg_end, row_valid, noi,
         ebr = ebr + weights[i] * rev(w)
     benefit = jnp.maximum(jnp.stack([ebf, ebr], axis=-1) - smu, 0.0)
     benefit = jnp.where(row_valid[:, None], benefit, 0.0)
-    return benefit, smu, scores
 
-
-@jax.jit
-def _threshold_jit(benefit, smu_sum, tc, tbar0):
+    # threshold scan (ContigPool.find_threshold :1059-1094), fused in
+    smu_sum = jnp.sum(smu)
     b = benefit.ravel()
     nz = b > 0
     any_nz = jnp.any(nz)
@@ -93,7 +95,8 @@ def _threshold_jit(benefit, smu_sum, tc, tbar0):
     nxt = jnp.min(jnp.where(after, bin_ids, NBINS))
     last_used = jnp.max(jnp.where(used, bin_ids, -1))
     thr_idx = jnp.where(nxt < NBINS, nxt, last_used).astype(jnp.int32)
-    return bbin[jnp.maximum(thr_idx, 0)], any_nz
+    thr = bbin[jnp.maximum(thr_idx, 0)]
+    return benefit, jnp.stack([thr, any_nz.astype(b.dtype)])
 
 
 def _pad_pow2(n: int, floor: int = 1 << 10) -> int:
@@ -153,20 +156,19 @@ def contig_strategies(
     import jax.numpy as jnp
 
     ccl_ds = np.maximum(np.asarray(ccl) // NODE, 1).astype(np.int32)
-    benefit, smu, _sc = _contig_benefit_jit(
-        jnp.asarray(cov_chunked), jnp.asarray(seg_start), jnp.asarray(seg_end),
-        jnp.asarray(row_valid), jnp.asarray(noi), jnp.asarray(e_l), jnp.asarray(e_r),
-        jnp.float32(lowcov), jnp.asarray(ccl_ds), jnp.int32(mu // NODE),
-    )
-    smu_sum = float(jnp.sum(smu))
     alpha, rho = 200 // NODE, 300 // NODE
     tc = max((lam - mu - 300) // NODE, 1.0)
     tbar0 = alpha + rho + mu // NODE
-    thr, any_nz = _threshold_jit(
-        benefit, jnp.float32(smu_sum), jnp.float32(tc), jnp.float32(tbar0)
+    benefit, vec = _strategy_jit(
+        jnp.asarray(cov_chunked), jnp.asarray(seg_start), jnp.asarray(seg_end),
+        jnp.asarray(row_valid), jnp.asarray(noi), jnp.asarray(e_l), jnp.asarray(e_r),
+        jnp.float32(lowcov), jnp.asarray(ccl_ds), jnp.int32(mu // NODE),
+        jnp.float32(tc), jnp.float32(tbar0),
     )
-    thr_f = float(thr) if bool(any_nz) else 0.0
+    # exactly two D2H pulls: the benefit array and the packed scalars
     ben_np = np.asarray(benefit)
+    thr_v, any_nz = np.asarray(vec)
+    thr_f = float(thr_v) if any_nz else 0.0
     strats = {}
     for h in names:
         off, ndc = offsets[h]

@@ -252,3 +252,24 @@ def find_strategy(benefit, smu, fhat, time_cost, nbins: int = 192, window: int =
     threshold = benefit_bin[jnp.maximum(thr_idx, 0)]
     strat = benefit >= threshold
     return ThresholdResult(strat=strat, threshold=threshold, any_nonzero=any_nz)
+
+
+def estimate_fhat_priors(read_starts: np.ndarray) -> tuple[float, float]:
+    """Method-of-moments estimate of the Dirichlet concentration alpha and
+    the zero-window point mass p0 from accumulated read-start counts.
+
+    Host-side helper (numpy) over the [W, 2] count matrix; equates the
+    empirical variance of Fhat with the variance of a symmetric Dirichlet.
+    Reference: boss/runs/readstartdist.py:156-178 (estimate_priors — defined
+    but never called in the reference loop either; exposed here for parity
+    and for offline prior tuning).
+    """
+    merged = np.asarray(read_starts, np.float64)
+    n_windows = merged.shape[0]
+    p0 = np.count_nonzero(merged == 0) / (n_windows * 2)
+    csum = np.sum(merged) or 1e-30
+    fhat = merged / csum
+    vhat = np.var(fhat, ddof=0) or 1e-30
+    lhs = (2 * n_windows - 1) / (vhat * 8 * (n_windows**3))
+    alpha = float(lhs - 1 / (2 * n_windows))
+    return alpha, float(p0)

@@ -127,3 +127,21 @@ def test_pallas_benefit_kernel_matches_xla(rng):
         )
     np.testing.assert_allclose(np.asarray(smu_p), np.asarray(smu_x), atol=1e-4)
     np.testing.assert_allclose(np.asarray(ben_p), np.asarray(ben_x), atol=2e-2, rtol=1e-4)
+
+
+def test_estimate_fhat_priors():
+    """Method-of-moments alpha/p0 (readstartdist.py:156-178 parity)."""
+    from bossruns_tpu.ops.genome_ops import estimate_fhat_priors
+
+    rng = np.random.default_rng(0)
+    # near-uniform counts -> tiny variance -> huge alpha (strong prior)
+    uniform = np.full((500, 2), 20.0)
+    a_u, p0_u = estimate_fhat_priors(uniform)
+    assert p0_u == 0.0
+    # concentrated counts -> large variance -> small alpha
+    spiky = np.zeros((500, 2))
+    spiky[rng.integers(0, 500, 25), 0] = 400.0
+    a_s, p0_s = estimate_fhat_priors(spiky)
+    assert a_s < a_u
+    assert 0.9 < p0_s <= 1.0  # almost all windows unobserved
+    assert a_s > 0
