@@ -1,19 +1,23 @@
-"""Benchmark: p50 strategy-update latency per batch on real TPU hardware.
+"""Benchmark suite: the three hot paths on real TPU hardware.
 
-Runs the full jitted BOSS-RUNS update step (coverage scatter -> dense
-posterior/score recompute over every genome site -> S_mu/CCL benefit windows
--> exponent-binned global threshold -> gated strategy) on a zymo-scale genome
-(~8 Mb, 3 contigs — the reference conformance corpus scale, SURVEY.md §4) with
-a 4000-read batch (the reference's default simulation batchsize,
-boss/config.py:56), and compares against the float64 NumPy oracle of the same
-pipeline on CPU (the stand-in for CPU BOSS-RUNS — its mappy/bottleneck C deps
-are absent here; see bossruns_tpu/oracle.py).
+Sections (one JSON line each; the HEADLINE metric prints LAST):
+  1. aligner_reads_per_s      — live-alignment path: full + mu=400 truncated
+                                mapping of 2000 noisy reads (k13/w5 profile)
+  2. sim_batch_p50_latency    — end-to-end PAF-driven simulation batch
+                                (sample -> decide -> pack -> device step)
+  3. aeons_batch_p50_latency  — AEONS update (ava/assembly/strategy) batch
+  4. strategy_update_p50_latency — the jitted BOSS-RUNS update step on a
+                                zymo-scale genome (~8 Mb, 3 contigs) with a
+                                4000-read batch, vs the float64 NumPy oracle
+                                of the same pipeline on CPU (the stand-in for
+                                CPU BOSS-RUNS; see bossruns_tpu/oracle.py)
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline = CPU-baseline latency / TPU latency (higher is better; target
->= 10x per BASELINE.md).
+vs_baseline = CPU-baseline latency / TPU latency for the headline (higher is
+better; target >= 10x per BASELINE.md). Sections 1-3 can be skipped with
+BENCH_ONLY=step for a quick headline-only run.
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -72,7 +76,84 @@ def build_inputs(rng):
     return layout, batch_np
 
 
+def section_aligner():
+    """Live-alignment path: reads/s + mapped fraction (see scripts/bench_aligner)."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
+    from bench_aligner import main as run_aligner_bench
+
+    run_aligner_bench(2000, trials=3)
+
+
+def section_sim(tmp: Path):
+    """End-to-end PAF-driven simulation batch: sample -> decide -> pack -> step."""
+    from bossruns_tpu.models.runs_sim import BossRunsSim
+    from bossruns_tpu.utils.datagen import write_corpus
+
+    paths = write_corpus(
+        tmp / "corpus", rng=np.random.default_rng(3),
+        contig_lengths=GENOME, n_reads=N_READS * 10, mean_len=float(MEAN_LEN),
+    )
+    sim = BossRunsSim(
+        ref=paths["ref"], fq=paths["fq"], paf_full=paths["paf_full"],
+        paf_trunc=paths["paf_trunc"], name="bench", batchsize=N_READS,
+        maxb=6, out_base=tmp / "sim",
+    )
+    sim.process_batch()  # compile + warm
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        sim.process_batch()
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    print(json.dumps({
+        "metric": "sim_batch_p50_latency",
+        "value": round(p50 * 1000.0, 1),
+        "unit": "ms",
+        "vs_baseline": None,
+        "detail": {"reads_per_batch": N_READS,
+                   "reads_per_s": round(N_READS / p50, 1)},
+    }), flush=True)
+
+
+def section_aeons(tmp: Path):
+    """AEONS update batch: ava + assembly + contig strategies, warm."""
+    from bossruns_tpu.aeons.simulation import BossAeonsSim
+    from bossruns_tpu.config import BossConfig
+    from bossruns_tpu.utils.datagen import write_corpus
+
+    paths = write_corpus(
+        tmp / "acorpus", rng=np.random.default_rng(21),
+        contig_lengths={"gA": 300_000}, n_reads=4000, mean_len=5000.0,
+    )
+    args = BossConfig()
+    args.general.name = "aeons_bench"
+    args.simulation.fq = paths["fq"]
+    args.simulation.batchsize = 500
+    args.simulation.maxb = 4
+    args.simulation.binit = 2
+    args.optional.min_seq_len = 2500
+    args.optional.min_contig_len = 10_000
+    sim = BossAeonsSim(args, out_base=tmp / "aeons")
+    sim.process_batch()  # warm: first batch compiles the ava/benefit kernels
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sim.process_batch()
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    print(json.dumps({
+        "metric": "aeons_batch_p50_latency",
+        "value": round(p50 * 1000.0, 1),
+        "unit": "ms",
+        "vs_baseline": None,
+        "detail": {"reads_per_batch": 500,
+                   "n_contigs": len(sim.strat)},
+    }), flush=True)
+
+
 def main():
+    import tempfile
+
     import jax
 
     # persistent compile cache: first-ever run pays ~4 min of XLA compile,
@@ -82,6 +163,20 @@ def main():
     # production decision precision: f64 benefit/threshold (TPU emulates f64
     # as a float-float pair; the arrays are genome/100-sized so this is cheap)
     jax.config.update("jax_enable_x64", True)
+
+    if os.environ.get("BENCH_ONLY", "") != "step":
+        with tempfile.TemporaryDirectory(prefix="boss_bench_") as td:
+            for section in (section_aligner,
+                            lambda: section_sim(Path(td)),
+                            lambda: section_aeons(Path(td))):
+                try:
+                    section()
+                except Exception as e:  # a section must not kill the headline
+                    print(json.dumps({"metric": "section_error",
+                                      "value": None, "unit": None,
+                                      "vs_baseline": None,
+                                      "detail": {"error": repr(e)[:300]}}),
+                          flush=True)
 
     from bossruns_tpu import oracle
     from bossruns_tpu.models.runs import ReadBatch, RunsEngine

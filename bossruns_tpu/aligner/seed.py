@@ -201,11 +201,11 @@ def _vote(keys_flat, tol=DIAG_TOL):
     return jnp.where(keys_flat < SENTINEL, votes, -1)
 
 
-@partial(jax.jit, static_argnames=("k", "w"))
+@partial(jax.jit, static_argnames=("k", "w", "budget"))
 def _seed_and_vote_jit(reads, read_lens, keys, offsets, positions, strands, n_keys_arr,
-                       k: int, w: int = W):
+                       k: int, w: int = W, budget: int = ANCHOR_BUDGET):
     canonical, strand, is_min = read_minimizers(reads, k, w)
-    ck, cs, cpos, cvalid = compact_minimizers(canonical, strand, is_min)
+    ck, cs, cpos, cvalid = compact_minimizers(canonical, strand, is_min, budget)
     r, a = ck.shape
 
     hit_f, base_f, count_f = _lookup_join(
@@ -260,6 +260,15 @@ def _seed_and_vote_jit(reads, read_lens, keys, offsets, positions, strands, n_ke
     }
 
 
+def anchor_budget(L: int, w: int) -> int:
+    """Minimizer-slot budget for reads of padded length L: expected density
+    is 2/(w+1) positions, so a pow2 just above that (plus slack) loses no
+    anchors while keeping the vote sorts ~L/w wide instead of a fixed 1024
+    (the vote sort is the seeding kernel's dominant cost)."""
+    need = int(2.2 * L / (w + 1)) + 16
+    return min(_pow2(need, floor=64), ANCHOR_BUDGET)
+
+
 def seed_and_vote(reads, dev_idx: DeviceIndex, read_lens):
     """[R, L] padded reads -> per-read best candidate dict of [R] arrays."""
     return _seed_and_vote_jit(
@@ -272,12 +281,13 @@ def seed_and_vote(reads, dev_idx: DeviceIndex, read_lens):
         None,
         dev_idx.k,
         dev_idx.w,
+        anchor_budget(reads.shape[1], dev_idx.w),
     )
 
 
-@partial(jax.jit, static_argnames=("k", "ncand", "tol", "w"))
+@partial(jax.jit, static_argnames=("k", "ncand", "tol", "w", "budget"))
 def _seed_candidates_jit(reads, keys, offsets, positions, strands, k: int, ncand: int,
-                         tol: int = DIAG_TOL, w: int = W):
+                         tol: int = DIAG_TOL, w: int = W, budget: int = ANCHOR_BUDGET):
     """Multi-candidate seeding for all-vs-all overlap discovery (AEONS).
 
     Returns per read, per candidate [R, 2*ncand] arrays: votes, strand,
@@ -286,7 +296,7 @@ def _seed_candidates_jit(reads, keys, offsets, positions, strands, k: int, ncand
     extents without base-level extension).
     """
     canonical, strand, is_min = read_minimizers(reads, k, w)
-    ck, cs, cpos, cvalid = compact_minimizers(canonical, strand, is_min)
+    ck, cs, cpos, cvalid = compact_minimizers(canonical, strand, is_min, budget)
     r, a = ck.shape
 
     hit_f, base_f, count_f = _lookup_join(
@@ -348,5 +358,6 @@ def seed_candidates(reads, dev_idx: DeviceIndex, ncand: int = 4, tol: int | None
     out = _seed_candidates_jit(
         reads, dev_idx.keys, dev_idx.offsets, dev_idx.positions, dev_idx.strands,
         dev_idx.k, ncand, int(tol), dev_idx.w,
+        anchor_budget(reads.shape[1], dev_idx.w),
     )
     return {k_: np.asarray(v) for k_, v in out.items()}

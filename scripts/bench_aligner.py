@@ -1,0 +1,69 @@
+"""Aligner benchmark: reads/s + mapping rate on the live-alignment path.
+
+Builds the bench-scale genome (8 Mb, 3 contigs), simulates 2000 noisy reads
+(3% sub / 2% ins / 2% del — ONT-like), and times the two passes the
+live-alignment simulation makes per batch: full-length mapping and mu=400
+truncated-prefix mapping (the decision path), with the k13/w5 profile
+runs_sim uses. Prints one JSON line per pass plus a phase breakdown.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main(n_reads: int = 2000, trials: int = 3):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from bossruns_tpu.aligner import TpuAligner
+    from bossruns_tpu.models.layout import build_layout
+    from bossruns_tpu.utils.datagen import simulate_reads
+
+    rng = np.random.default_rng(5)
+    contigs_i = {f"c{i}": rng.integers(0, 4, L).astype(np.uint8)
+                 for i, L in enumerate([4_050_000, 2_000_000, 2_000_000])}
+    B = np.array(list("ACGT"))
+    genome = {n: "".join(B[v]) for n, v in contigs_i.items()}
+    lay = build_layout(contigs_i)
+    sim = simulate_reads(rng, genome, n_reads, mean_len=3500.0, sd_len=2000.0)
+    seqs = {r.rid: r.seq for r in sim}
+    truth = {r.rid: (r.tname, r.tstart, r.rev) for r in sim}
+
+    al = TpuAligner(lay, k=13, w=5, min_votes=3)
+    for label, kw in (("trunc", dict(trunc=True)), ("full", dict())):
+        al.map_sequences(dict(list(seqs.items())[:64]), **kw)  # warm/compile
+        times = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            rec = al.map_sequences(seqs, **kw)
+            times.append(time.perf_counter() - t0)
+        sec = float(np.median(times))
+        mapped = len(set(rec.qname))
+        correct = sum(
+            1 for i in range(len(rec.qname))
+            if rec.tname[i] == truth[rec.qname[i]][0]
+        )
+        print(json.dumps({
+            "metric": f"aligner_{label}_reads_per_s",
+            "value": round(n_reads / sec, 1),
+            "unit": "reads/s",
+            "vs_baseline": None,
+            "detail": {
+                "seconds": round(sec, 2),
+                "mapped_frac": round(mapped / n_reads, 4),
+                "right_contig": correct,
+                "records": len(rec.qname),
+            },
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 2000)
