@@ -203,6 +203,25 @@ class BossRunsSim:
 
     # ------------------------------------------------------------ decisions --
 
+    def _trunc_decisions(
+        self, trunc: PafRecords, barcodes: dict[str, int]
+    ) -> dict[str, bool]:
+        """Per-read accept/reject from the mu-sized truncated mapping alone
+        (the in-silico ReadUntil mask lookup, runs/simulation.py:68-86).
+        Keys are exactly the trunc-mapped read ids."""
+        best_trunc = best_per_query(trunc)
+        decisions: dict[str, bool] = {}
+        for rid, i in best_trunc.items():
+            rev = int(trunc.rev[i])
+            start_pos = int(trunc.tend[i]) - 1 if rev else int(trunc.tstart[i])
+            bc = barcodes.get(rid, 0)
+            try:
+                strat = self.strat_host[trunc.tname[i]]
+                decisions[rid] = bool(strat[start_pos // DS, rev, bc])
+            except (KeyError, IndexError):
+                decisions[rid] = False  # fail-closed like simulation.py:82-86
+        return decisions
+
     def make_decisions(
         self,
         seqs: dict[str, str],
@@ -214,23 +233,18 @@ class BossRunsSim:
 
         Returns the records plus which rows feed coverage (accepted reads
         contribute their full-length alignment, rejected reads their mu-sized
-        truncated alignment) and the decided read sequences.
+        truncated alignment) and the decided read sequences. ``full`` only
+        needs to cover reads that can be accepted (see process_batch's
+        two-phase live alignment).
         """
         best_full = best_per_query(full)
         best_trunc = best_per_query(trunc)
+        decisions = self._trunc_decisions(trunc, barcodes)
 
         out = SimOutcome()
         out.reads_decision = dict(seqs)
-        mapped = set(best_trunc)
-        for rid, i in best_trunc.items():
-            rev = int(trunc.rev[i])
-            start_pos = int(trunc.tend[i]) - 1 if rev else int(trunc.tstart[i])
-            bc = barcodes.get(rid, 0)
-            try:
-                strat = self.strat_host[trunc.tname[i]]
-                decision = bool(strat[start_pos // DS, rev, bc])
-            except (KeyError, IndexError):
-                decision = False  # fail-closed like simulation.py:82-86
+        mapped = set(decisions)
+        for rid, decision in decisions.items():
             if decision and rid in best_full:
                 j = best_full[rid]
                 out.cov_rows.append(("full", j))
@@ -241,7 +255,7 @@ class BossRunsSim:
                 # accepted but no full-length mapping: nothing to add
                 out.n_accepted += 1
             else:
-                out.cov_rows.append(("trunc", i))
+                out.cov_rows.append(("trunc", best_trunc[rid]))
                 out.reads_decision[rid] = seqs[rid][: self.mu]
                 out.n_rejected += 1
         for rid, seq in seqs.items():
@@ -271,8 +285,19 @@ class BossRunsSim:
         t["sample"] = _time.perf_counter()
         read_bc = {rid: self.barcodes_index.get(bc, 0) for rid, bc in bc_names.items()}
         if self.aligner is not None:
-            full_rec = self.aligner.map_sequences(seqs)
+            # Two-phase live alignment: the mu-sized truncated mapping alone
+            # determines accept/reject (exactly the information the real
+            # sequencer has at decision time), so the expensive full-length
+            # extension only runs for reads that are actually accepted —
+            # rejected reads only ever contribute their truncated alignment
+            # (runs/simulation.py:37-120). Identical outcome to full-aligning
+            # everything; the full pass shrinks with the acceptance rate.
             trunc_rec = self.aligner.map_sequences(seqs, trunc=True)
+            decisions = self._trunc_decisions(trunc_rec, read_bc)
+            need_full = [rid for rid, acc in decisions.items() if acc]
+            if self.accept_unmapped:
+                need_full += [rid for rid in seqs if rid not in decisions]
+            full_rec = self.aligner.map_sequences({r: seqs[r] for r in need_full})
         else:
             full_rec = parse_paf(paf_f)
             trunc_rec = parse_paf(paf_t)

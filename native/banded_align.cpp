@@ -22,13 +22,15 @@
 #include <thread>
 #include <atomic>
 
+#define RESTRICT __restrict__
+
 namespace {
 
 constexpr int32_t INF = 1 << 28;
 
 struct Workspace {
-    std::vector<int32_t> prev, curr;
-    std::vector<uint8_t> trace;  // 2 bits/cell would do; use bytes for speed
+    std::vector<int32_t> prev, curr, vdu;
+    std::vector<uint8_t> opv, trace;  // trace: 1 byte/cell (band-local)
 };
 
 // ops: 0 = diagonal (M), 1 = up (I: query consumed), 2 = left (D: target consumed)
@@ -46,8 +48,10 @@ AlnResult banded_align(const int8_t* q, int32_t m, const int8_t* t, int32_t n,
                        int32_t half, int32_t pad, Workspace& ws,
                        uint32_t* cigar_out, int32_t cap) {
     const int32_t bw = 2 * half + 1;
-    ws.prev.assign(bw, INF);
-    ws.curr.assign(bw, INF);
+    ws.prev.assign(bw + 1, INF);   // slot bw: sentinel for the up-move read
+    ws.curr.assign(bw + 1, INF);
+    ws.vdu.resize(bw);
+    ws.opv.resize(bw);
     ws.trace.resize(static_cast<size_t>(m + 1) * bw);
 
     // row 0: free leading target gap -> cost 0 at any target offset in band
@@ -58,32 +62,49 @@ AlnResult banded_align(const int8_t* q, int32_t m, const int8_t* t, int32_t n,
         ws.trace[b] = 2;
     }
 
+    // The row update is restructured into three band-wide passes so the
+    // compiler can vectorise the work: (1) v = min(diag, up) — no intra-row
+    // dependency; (2) the left-gap prefix scan curr[b] = min(v[b],
+    // curr[b-1]+1) — scalar but only 2 ops/cell; (3) trace op recovery by
+    // comparing curr against the pass-1 candidates. Tie priority matches the
+    // original single-pass code: diagonal > up > left.
+    int32_t* RESTRICT vdu = ws.vdu.data();
+    uint8_t* RESTRICT opv = ws.opv.data();
     for (int32_t i = 1; i <= m; ++i) {
         int32_t lo = i + pad - half;  // target index of band slot 0 for row i
-        uint8_t* tr = ws.trace.data() + static_cast<size_t>(i) * bw;
+        uint8_t* RESTRICT tr = ws.trace.data() + static_cast<size_t>(i) * bw;
         const int8_t qc = q[i - 1];
-        for (int32_t b = 0; b < bw; ++b) {
-            int32_t j = b + lo;
-            if (j < 0 || j > n) { ws.curr[b] = INF; tr[b] = 0; continue; }
-            int32_t best = INF; uint8_t op = 0;
-            // diagonal: (i-1, j-1) -> row i-1 slot j-1-(i-1+pad-half) = b
-            if (j >= 1 && ws.prev[b] < INF) {
-                int32_t sub = (qc == t[j - 1] && qc < 4) ? 0 : 1;
-                int32_t c = ws.prev[b] + sub;
-                if (c < best) { best = c; op = 0; }
-            }
-            // up (insertion to target / query-only): (i-1, j) -> slot b+1
-            if (b + 1 < bw && ws.prev[b + 1] < INF) {
-                int32_t c = ws.prev[b + 1] + 1;
-                if (c < best) { best = c; op = 1; }
-            }
-            // left (deletion from target view / target-only): (i, j-1) -> slot b-1
-            if (b >= 1 && ws.curr[b - 1] < INF) {
-                int32_t c = ws.curr[b - 1] + 1;
-                if (c < best) { best = c; op = 2; }
-            }
-            ws.curr[b] = best; tr[b] = op;
+        const bool qc_ok = qc < 4;
+        int32_t* RESTRICT prev = ws.prev.data();
+        int32_t* RESTRICT curr = ws.curr.data();
+        // valid slots: j = b + lo in [0, n]
+        const int32_t blo = std::max(0, -lo);
+        const int32_t bhi = std::min(bw - 1, n - lo);  // inclusive
+        // slots with a diagonal predecessor need j >= 1
+        const int32_t bdiag = std::max(blo, 1 - lo);
+        for (int32_t b = blo; b < bdiag && b <= bhi; ++b) {  // j == 0: up only
+            vdu[b] = prev[b + 1] + 1;
+            opv[b] = 1;
         }
+        const int8_t* RESTRICT trow = t + (bdiag + lo - 1);
+        for (int32_t b = bdiag; b <= bhi; ++b) {  // vectorisable
+            int32_t sub = (qc == trow[b - bdiag] && qc_ok) ? 0 : 1;
+            int32_t diag = prev[b] + sub;
+            int32_t up = prev[b + 1] + 1;
+            int32_t v = diag <= up ? diag : up;
+            vdu[b] = v;
+            opv[b] = diag <= up ? 0 : 1;
+        }
+        int32_t run = INF;  // left-gap scan (scalar, 2 ops/cell)
+        for (int32_t b = blo; b <= bhi; ++b) {
+            int32_t v = vdu[b];
+            run = run + 1 < v ? run + 1 : v;
+            curr[b] = run;
+        }
+        for (int32_t b = blo; b <= bhi; ++b)  // vectorisable
+            tr[b] = curr[b] == vdu[b] ? opv[b] : 2;
+        for (int32_t b = 0; b < blo; ++b) { curr[b] = INF; tr[b] = 0; }
+        for (int32_t b = bhi + 1; b < bw; ++b) { curr[b] = INF; tr[b] = 0; }
         std::swap(ws.prev, ws.curr);
     }
 

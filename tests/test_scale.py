@@ -1,0 +1,86 @@
+"""Genome-scale proof: a >=100 Mb diploid layout through the sharded engine.
+
+VERDICT r1 item 6: the largest genome previously exercised was ~8 Mb (bench)
+/ ~300 kb (tests); BASELINE config 3 targets diploid chromosome scale. This
+test builds a 120 Mb two-contig diploid layout, shards it over an (1, 8)
+device mesh (the genome axis carries the sharding, parallel/mesh.py), runs
+two full update steps with a real scattered read batch, and checks the state
+stays finite and coverage lands where the reads did.
+
+Gated behind BOSS_SCALE_TEST=1: it needs ~30 GB host RAM and minutes of CPU
+on the 8-virtual-device mesh. Run explicitly:
+
+    BOSS_SCALE_TEST=1 python -m pytest tests/test_scale.py -q
+"""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from bossruns_tpu.io.coo_native import split_runs
+from bossruns_tpu.models.layout import build_layout
+from bossruns_tpu.models.runs import ReadBatch
+from bossruns_tpu.ops.model import make_model
+from bossruns_tpu.parallel.mesh import ShardedRunsEngine, make_mesh
+
+pytestmark = [
+    pytest.mark.skipif(
+        not os.environ.get("BOSS_SCALE_TEST"),
+        reason="genome-scale: set BOSS_SCALE_TEST=1 (slow, ~30 GB RAM)",
+    ),
+    pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices"),
+]
+
+CCL = np.array([30000, 20000, 14000, 10000, 7000, 5000, 3500, 2200, 1200, 400])
+
+
+def test_120mb_diploid_sharded_two_batches():
+    rng = np.random.default_rng(9)
+    contigs = {
+        "chrA": rng.integers(0, 4, 70_000_000).astype(np.uint8),
+        "chrB": rng.integers(0, 4, 50_000_000).astype(np.uint8),
+    }
+    mesh = make_mesh(jax.devices()[:8], barcode_shards=1)
+    layout = build_layout(contigs, align_chunks=8)
+    assert layout.G_pad >= 120_000_000
+    eng = ShardedRunsEngine(layout, mesh, make_model(ploidy=2))
+    state = eng.init_state()
+
+    # 4000 reads x 400 bp scattered over both contigs, 2% mismatches
+    n_reads, rl = 4000, 400
+    rstart = rng.integers(0, layout.G_pad - rl, n_reads).astype(np.int32)
+    pos = (rstart[:, None] + np.arange(rl)[None, :]).ravel()
+    sym = layout.seq_int[pos].astype(np.int8)
+    flip = rng.random(sym.shape[0]) < 0.02
+    sym[flip] = rng.integers(0, 5, int(flip.sum()))
+    mr_flat, mr_len, ex_flat = split_runs(
+        layout, sym, np.full(sym.shape[0], 40, np.int8), rstart,
+        np.full(n_reads, rl, np.int32), np.zeros(n_reads, np.int32),
+    )
+    me = 1 << int(np.ceil(np.log2(max(ex_flat.shape[0], 4))))
+    ex_flat_p = np.zeros(me, np.int32); ex_flat_p[: ex_flat.shape[0]] = ex_flat
+    ex_w_p = np.zeros(me, np.int8); ex_w_p[: ex_flat.shape[0]] = 1
+    batch = eng.put_batch(ReadBatch(
+        mr_flat=mr_flat, mr_len=mr_len, ex_flat=ex_flat_p, ex_w=ex_w_p,
+        rs_row=rng.integers(0, layout.n_fhat, n_reads).astype(np.int32),
+        rs_strand=rng.integers(0, 2, n_reads).astype(np.int32),
+        rs_w=np.ones(n_reads, np.float32),
+    ))
+    params = eng.make_params(CCL, 5300.0)
+
+    for _ in range(2):
+        state, aux = eng.step(state, batch, params)
+    ah = eng.pull_aux(aux)
+
+    # all observed bases landed (valid sites only; reads were drawn on-genome)
+    cov = state.coverage
+    assert cov.shape == (1, 5, layout.G_pad)
+    total = int(np.asarray(jax.jit(lambda c: c.sum(dtype=np.int64))(cov)))
+    assert total == 2 * (int(mr_len.sum()) + int(ex_w_p.sum()))
+    assert np.isfinite(ah.threshold)
+    # strategy grid exists at full downsampled size and is boolean
+    assert state.strat.shape == (1, layout.Gd_pad, 2)
+    # the per-shard split is even: 8 equal genome blocks
+    shard_sizes = {s.data.shape[-1] for s in cov.addressable_shards}
+    assert shard_sizes == {layout.G_pad // 8}
