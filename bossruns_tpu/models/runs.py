@@ -119,6 +119,10 @@ class RunsConfig:
     # arrays are genome/100 sized and f64 elementwise is cheap on TPU v5e.
     # Falls back to f32 automatically when jax x64 is disabled.
     benefit_dtype: str = "float64"
+    # static clamp (ds rows) on the CCL benefit windows; bounds the halo the
+    # sharded engine exchanges between neighbour shards. 4096 ds rows =
+    # 409.6 kb reads — far beyond any nanopore read-length distribution.
+    ccl_clamp_ds: int = 4096
     # return the post-mask score array in StepAux (parity tests/debugging)
     debug_aux: bool = False
     # fused Pallas score kernel (ops/pallas_scores.py). Measured neutral-to-
@@ -156,8 +160,14 @@ class RunsEngine:
         lay = layout
         self.nb = lay.n_barcodes
         # flat scatter indices are int32; beyond this, shard the genome axis
-        # (parallel/mesh.py) so per-shard indices stay in range
-        assert lay.n_barcodes * lay.G_pad * 5 < 2**31, "genome too large for single-chip int32 scatter; shard it"
+        # (parallel/mesh.py) so the per-shard scatter domain stays in range.
+        # NOTE the replicated batch's ex_flat (bc*5+sym)*G + g is also int32,
+        # which caps the GLOBAL genome at ~430 Mb per barcode until the COO
+        # format moves to int64 (io/coo_native.py)
+        div_b, div_g = getattr(self, "_shard_div", (1, 1))
+        assert (lay.n_barcodes // div_b) * (lay.G_pad // div_g) * 5 < 2**31, (
+            "genome too large for int32 scatter domain; shard it (parallel/mesh.py)"
+        )
         # device constants
         self.c_seq = jnp.asarray(lay.seq_int, jnp.int32)
         # one-hot reference (int8 [5, G]): reconstructs per-symbol counts from
@@ -172,9 +182,31 @@ class RunsEngine:
         self.c_strat_valid = jnp.asarray(lay.strat_row_valid)
         self.c_fhat_idx = jnp.asarray(lay.fhat_idx, jnp.int32)
         self.c_bucket_idx = jnp.asarray(lay.bucket_idx, jnp.int32)
-        self.c_bucket_lo = jnp.asarray(lay.bucket_lo_ds, jnp.int32)
         self.c_bucket_valid = jnp.asarray(np.arange(lay.NBk_pad) < lay.n_buckets)
         self.c_fhat_valid = jnp.asarray(np.arange(lay.Wf_pad) < lay.n_fhat)
+        # bucket source windows as a scatter domain: every bucket reads the
+        # mean of one full 200-ds-row window (the tail bucket re-reads the
+        # last full one, reference.py:183-211). Summing rows INTO windows and
+        # gathering per bucket — instead of cumsum differences — makes the
+        # sums integer-exact in benefit_dtype and therefore identical between
+        # the single-chip and genome-sharded engines (order-invariant).
+        win_rows = BUCKET // DS
+        uniq_lo = np.unique(lay.bucket_lo_ds[lay.bucket_lo_ds >= 0])
+        self.n_win = int(uniq_lo.shape[0])
+        self.NW_pad = max(8, -(-self.n_win // 8) * 8)
+        win_id = np.full(lay.Gd_pad, -1, np.int32)
+        if self.n_win:
+            rows_f = (uniq_lo[:, None] + np.arange(win_rows)[None, :]).ravel()
+            win_id[rows_f] = np.repeat(np.arange(self.n_win, dtype=np.int32), win_rows)
+        src = np.searchsorted(uniq_lo, lay.bucket_lo_ds).astype(np.int32)
+        self.c_win_id_ds = jnp.asarray(win_id)
+        self.c_bucket_src = jnp.asarray(np.where(lay.bucket_lo_ds >= 0, src, -1), jnp.int32)
+        # rows per fhat window: closes the fhat normaliser into a replicated
+        # [Wf]-sized sum (identical across shards/topologies by construction)
+        fhat_rows = np.bincount(
+            lay.fhat_idx[lay.fhat_idx >= 0], minlength=lay.Wf_pad
+        ).astype(np.float64)
+        self.c_fhat_rows = jnp.asarray(fhat_rows, self.benefit_dtype)
         # per-contig site counts (incl. a trailing pseudo-contig for padding)
         denom = np.append(lay.lengths * lay.n_barcodes, 1).astype(np.float64)
         self.c_contig_denom = jnp.asarray(denom, self.dtype)
@@ -240,6 +272,7 @@ class RunsEngine:
 
         covsum = jnp.sum(coverage, axis=1)  # [NB, G] int32
         covsum_f = covsum.astype(dtype)
+        bdt = self.benefit_dtype
 
         # -- 2. scores -------------------------------------------------------
         if self._ptables is not None:
@@ -256,12 +289,14 @@ class RunsEngine:
         scores = jnp.where(maxed, self.tiny, scores)
 
         # dropout: per-contig mean coverage over sites and barcodes; thresholds
-        # expand from ds resolution (a [G]-sized gather costs ~90ms on TPU)
-        covsum_ds = jnp.sum(covsum_f.reshape(nb, Gd, DS), axis=2)  # [NB, Gd]
-        per_contig = jnp.zeros(self.layout.n_contigs + 1, dtype).at[self.c_contig_id_ds].add(
+        # expand from ds resolution (a [G]-sized gather costs ~90ms on TPU).
+        # covsum_ds carries integer counts in benefit_dtype: every reduction
+        # over it is then exact (and order-invariant, so sharded == single)
+        covsum_ds = jnp.sum(covsum_f.reshape(nb, Gd, DS), axis=2, dtype=bdt)  # [NB, Gd]
+        per_contig = jnp.zeros(self.layout.n_contigs + 1, bdt).at[self.c_contig_id_ds].add(
             jnp.sum(covsum_ds, axis=0)
         )
-        contig_mean = per_contig / self.c_contig_denom  # [C+1]
+        contig_mean = (per_contig / self.c_contig_denom.astype(bdt)).astype(dtype)  # [C+1]
         thr_ds = jnp.floor(contig_mean / cfg.dropout_mod)[self.c_contig_id_ds]  # [Gd]
         active_ds = (contig_mean > cfg.dropout_min_mean)[self.c_contig_id_ds]   # [Gd]
         low = jnp.any(
@@ -278,11 +313,22 @@ class RunsEngine:
         zeroed = drop_now | hold_zero
 
         # -- 3. bucket switches ---------------------------------------------
-        cc = gops._csum(covsum_ds)  # [NB, Gd+1]
-        lo = self.c_bucket_lo
-        lo_safe = jnp.maximum(lo, 0)
-        wsum = jnp.take(cc, lo_safe + BUCKET // DS, axis=-1) - jnp.take(cc, lo_safe, axis=-1)
-        bucket_mean = jnp.where((lo >= 0)[None, :], wsum / BUCKET, 0.0)  # [NB, NBk]
+        # sum ds rows into their source windows (one flat scatter; exact
+        # integer sums in benefit_dtype), then gather each bucket's window
+        win = self.c_win_id_ds
+        row_off = jnp.arange(nb, dtype=jnp.int32)[:, None] * self.NW_pad
+        win_idx = jnp.where(
+            (win >= 0)[None, :], win[None, :] + row_off, nb * self.NW_pad
+        )  # [NB, Gd]; invalid rows scatter out of range (dropped)
+        winsums = (
+            jnp.zeros(nb * self.NW_pad, bdt)
+            .at[win_idx.ravel()]
+            .add(covsum_ds.ravel(), mode="drop")
+            .reshape(nb, self.NW_pad)
+        )
+        src = self.c_bucket_src
+        wsum = jnp.take(winsums, jnp.maximum(src, 0), axis=1)  # [NB, NBk]
+        bucket_mean = jnp.where((src >= 0)[None, :], wsum / BUCKET, 0.0).astype(dtype)
         bucket_on = state.bucket_on | (
             (bucket_mean >= params.bucket_threshold) & self.c_bucket_valid[None, :]
         )
@@ -293,7 +339,6 @@ class RunsEngine:
         # benefit_dtype (f64 by default): counts are integer-exact in f32, so
         # casting up reproduces a pure-f64 pipeline bit-for-bit while per-site
         # scores stay f32 (see RunsConfig.benefit_dtype)
-        bdt = self.benefit_dtype
         read_starts = gops.scatter_add_2d(
             state.read_starts, batch.rs_row, batch.rs_strand, batch.rs_w
         )
@@ -301,18 +346,26 @@ class RunsEngine:
             read_starts.astype(bdt), self.c_fhat_valid, self.layout.n_fhat,
             cfg.fhat_alpha, cfg.fhat_p0,
         )  # [Wf, 2]
+        # normaliser in closed form over the [Wf] window axis (each window
+        # expands onto c_fhat_rows ds rows): replicated-identical regardless
+        # of how the genome axis is sharded
+        tot = jnp.sum(fhat_w * self.c_fhat_rows[:, None])
         fidx = self.c_fhat_idx
         fhat_exp = jnp.where(
             (fidx >= 0)[:, None], jnp.take(fhat_w, jnp.maximum(fidx, 0), axis=0), 0.0
         )  # [Gd, 2]
-        tot = jnp.sum(fhat_exp)
         fhat_exp = fhat_exp * jnp.where(tot > 0, cfg.on_target / tot, 0.0)
+        # reduction-order-invariance contract: round the per-row weights to
+        # f32 so every downstream f64 sum over them is exact in ANY order
+        # (f32 summands spend <=24 of f64's 53 mantissa bits) — the sharded
+        # and single-chip engines then agree bit-for-bit
+        fhat_exp = fhat_exp.astype(jnp.float32).astype(bdt)
 
         # -- 5. benefit ------------------------------------------------------
         scores_ds = jnp.sum(scores.reshape(nb, Gd, DS), axis=2, dtype=bdt)  # [NB, Gd]
         smu, benefit = gops.expected_benefit(
             scores_ds,
-            jnp.maximum(params.approx_ccl // DS, 1),
+            jnp.clip(params.approx_ccl // DS, 1, cfg.ccl_clamp_ds),
             self.c_seg_start,
             self.c_seg_end,
             mu_ds=cfg.mu // DS,
@@ -334,7 +387,7 @@ class RunsEngine:
             read_starts=read_starts,
             strat=strat,
         )
-        mean_cov = jnp.sum(covsum_f) / self.n_real_sites
+        mean_cov = (jnp.sum(covsum_ds) / self.n_real_sites).astype(dtype)
         aux = StepAux(
             any_on=any_on,
             updated=do_update,

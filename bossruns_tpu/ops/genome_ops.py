@@ -212,33 +212,47 @@ class ThresholdResult(NamedTuple):
     any_nonzero: jax.Array  # bool scalar
 
 
-def find_strategy(benefit, smu, fhat, time_cost, nbins: int = 192, window: int = 100) -> ThresholdResult:
-    """Global accept/reject threshold via binary-exponent binning.
+def bin_benefit(benefit, fhat, norm, nbins: int):
+    """Exponent-bin the (local block of the) benefit array.
 
-    benefit/smu/fhat: same shape (any); time_cost: traced scalar.
-    Mirrors sequences.py:565-649. The reference's runs/core.py:182-183 passes
-    benefit where it means smu into the ubar0 term; we use the intended smu.
+    Returns (counts [nbins], fsum [nbins], ubar0_partial_input) building
+    blocks whose sums are reduction-order invariant: counts are integers and
+    fsum sums f32-rounded fhat weights, so psum-ing per-shard partials gives
+    bit-identical results to one global pass (see find_strategy).
     """
     dtype = benefit.dtype
-    alpha_t, rho_t, mu_t = 300 // window, 300 // window, 400 // window
-    tc = (time_cost // window).astype(dtype)
-
     b = benefit.ravel()
     f = fhat.ravel().astype(dtype)
     nz = b > 0
-    any_nz = jnp.any(nz)
-    norm = jnp.max(b)
     norm_safe = jnp.where(norm > 0, norm, 1.0)
     idx = frexp_abs_exponent(jnp.where(nz, b / norm_safe, 1.0), nbins)
     nzf = nz.astype(dtype)
     counts = jnp.zeros(nbins, dtype).at[idx].add(nzf)
     fsum = jnp.zeros(nbins, dtype).at[idx].add(f * nzf)
+    return counts, fsum
+
+
+def ubar0_partial(fhat, smu, dtype):
+    """Sum of f32-rounded fhat*smu products: f32 summands make the f64
+    accumulation exact in any reduction order, so sharded and single-chip
+    engines produce the identical ubar0 (the numpy oracle applies the same
+    rounding — see oracle.full_update)."""
+    return jnp.sum(
+        (fhat.astype(dtype) * smu.astype(dtype)).astype(jnp.float32).astype(dtype)
+    )
+
+
+def threshold_from_bins(counts, fsum, norm, ubar0, time_cost, nbins: int,
+                        window: int = 100):
+    """Threshold scan over (already globally reduced) exponent bins."""
+    dtype = counts.dtype
+    alpha_t, rho_t, mu_t = 300 // window, 300 // window, 400 // window
+    tc = (time_cost // window).astype(dtype)
+    norm_safe = jnp.where(norm > 0, norm, 1.0)
     used = counts > 0
     f_mean = jnp.where(used, fsum / jnp.maximum(counts, 1.0), 0.0)
     bin_ids = jnp.arange(nbins, dtype=jnp.int32)
     benefit_bin = jnp.exp2(-bin_ids.astype(dtype)) * norm_safe
-
-    ubar0 = jnp.sum(fhat.astype(dtype) * smu.astype(dtype))
     tbar0 = jnp.asarray(alpha_t + rho_t + mu_t, dtype)
     cs_u = jnp.cumsum(benefit_bin * f_mean * counts) + ubar0
     cs_t = jnp.cumsum(tc * counts * f_mean) + tbar0
@@ -249,7 +263,24 @@ def find_strategy(benefit, smu, fhat, time_cost, nbins: int = 192, window: int =
     nxt = jnp.min(jnp.where(after, bin_ids, nbins))
     last_used = jnp.max(jnp.where(used, bin_ids, -1))
     thr_idx = jnp.where(nxt < nbins, nxt, last_used).astype(jnp.int32)
-    threshold = benefit_bin[jnp.maximum(thr_idx, 0)]
+    return benefit_bin[jnp.maximum(thr_idx, 0)]
+
+
+def find_strategy(benefit, smu, fhat, time_cost, nbins: int = 192, window: int = 100) -> ThresholdResult:
+    """Global accept/reject threshold via binary-exponent binning.
+
+    benefit/smu/fhat: same shape (any); time_cost: traced scalar.
+    Mirrors sequences.py:565-649. The reference's runs/core.py:182-183 passes
+    benefit where it means smu into the ubar0 term; we use the intended smu.
+    The sharded engine (parallel/mesh.py) runs bin_benefit/ubar0_partial per
+    genome shard, psums the bins, and feeds the same threshold_from_bins.
+    """
+    dtype = benefit.dtype
+    any_nz = jnp.any(benefit > 0)
+    norm = jnp.max(benefit)
+    counts, fsum = bin_benefit(benefit, fhat, norm, nbins)
+    ubar0 = ubar0_partial(fhat, smu, dtype)
+    threshold = threshold_from_bins(counts, fsum, norm, ubar0, time_cost, nbins, window)
     strat = benefit >= threshold
     return ThresholdResult(strat=strat, threshold=threshold, any_nonzero=any_nz)
 

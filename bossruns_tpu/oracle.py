@@ -171,7 +171,8 @@ def find_strategy(benefit: np.ndarray, smu: np.ndarray, fhat: np.ndarray, time_c
     f_mean = f_all[used] / counts
     benefit_bin = np.power(2.0, -used.astype(np.float64)) * normaliser
 
-    ubar0 = float(np.sum(fhat * smu))
+    # f32-rounded products: order-invariant f64 sum (see genome_ops.find_strategy)
+    ubar0 = float(np.sum((fhat * smu).astype(np.float32).astype(np.float64)))
     tbar0 = alpha + rho + mu
     cs_u = np.cumsum(benefit_bin * f_mean * counts) + ubar0
     cs_t = np.cumsum(tc * counts * f_mean) + tbar0
@@ -303,13 +304,21 @@ def full_update(engine, state_np: dict, batch_np: dict, approx_ccl, time_cost,
     )
     fidx = lay.fhat_idx
     fhat_exp = np.where((fidx >= 0)[:, None], fh[np.maximum(fidx, 0)], 0.0)
-    tot = fhat_exp.sum()
+    # closed-form normaliser over the window axis + f32 rounding of the
+    # per-row weights — the engine's reduction-order-invariance contract
+    # (models/runs.py step 4): f32 summands make every downstream f64 sum
+    # exact in any order
+    fhat_rows = np.bincount(fidx[fidx >= 0], minlength=lay.Wf_pad).astype(np.float64)
+    tot = float(np.sum(fh * fhat_rows[:, None]))
     if tot > 0:
         fhat_exp = fhat_exp * (cfg.on_target / tot)
+    fhat_exp = fhat_exp.astype(np.float32).astype(np.float64)
 
     # benefit
     scores_ds = scores.reshape(nb, Gd, DS).sum(axis=2)
-    ccl_ds = np.maximum(np.asarray(approx_ccl) // DS, 1)
+    ccl_ds = np.clip(
+        np.asarray(approx_ccl) // DS, 1, getattr(cfg, "ccl_clamp_ds", 4096)
+    )
     smu = np.zeros((nb, Gd, 2))
     ben = np.zeros((nb, Gd, 2))
     rows = np.arange(Gd)

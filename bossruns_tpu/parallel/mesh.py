@@ -1,21 +1,38 @@
-"""Multi-chip sharding of the RUNS update step over a jax device mesh.
+"""Multi-chip sharding of the RUNS update step: explicit SPMD via shard_map.
 
 TPU-native scaling design (SURVEY.md §2.3/§5): the genome is the long axis.
 All per-site and per-ds-row state shards as contiguous chunk blocks over the
 mesh axis ``g`` (the adaptive-sampling analogue of context/sequence
 parallelism); the barcode axis optionally shards over ``b`` (multi-sample
-data parallelism). Read COO batches are replicated — each device's scatter
-keeps only the indices that land in its genome block (XLA partitions the
-scatter; out-of-shard indices drop locally).
+data parallelism). Read COO batches are replicated — each shard keeps the
+scatter rows that land in its block.
 
-Collectives are inserted by GSPMD from sharding constraints alone:
-  * the benefit window sums read a cumulative sum across chunk boundaries
-    -> collective-permute prefix exchange,
-  * the threshold scan's exponent bincount, max-normaliser and ubar0 reduce
-    with psum/pmax across shards,
-  * fhat normalisation is a global sum.
-No NCCL/MPI analogue exists in the reference to port — its two processes
-share files (SURVEY.md §1); here the state never leaves the devices.
+Earlier rounds expressed this with GSPMD sharding constraints on the
+single-chip step and let the partitioner insert collectives. Inspecting the
+partitioned HLO showed the partitioner falling back to FULL-GENOME
+all-gathers (s32[G] for the flat coverage scatter, f64[Gd] for the benefit
+cumsum): every device materialised the whole genome, so memory did not scale
+and each step paid G-sized collectives. This module instead writes the SPMD
+program explicitly with jax.shard_map; every array the body touches is the
+local block, and the only communication is:
+
+  * all_gather of per-shard [nb] run/score totals  (prefix for the two
+    genome-axis cumulative sums: match-run coverage + benefit cs)
+  * two ppermute halo exchanges of [nb, HALO] f64 cumsum boundary values
+    (HALO = clamped max CCL window, default 4096 ds rows = 409.6 kb reads)
+  * psums of tiny replicated tables: per-contig sums [C+1], bucket window
+    sums [NW], threshold bins [192], and the aux scalars
+
+Bit-exactness contract (matches models/runs.py + oracle.py): every cross-
+site reduction either sums integers in f64 (coverage, buckets, contig means,
+bin counts) or sums f32-rounded values in f64 (scores, fhat weights, ubar0
+products) — both are exact under ANY reduction order, so the sharded step
+produces bit-identical strategies to the single-chip engine and the
+sequential f64 oracle.
+
+Known single-shard scatter-domain limit: the COO flat indices are int32, so
+nb_local * 5 * G must stay < 2^31 (~430 Mb haploid); beyond that the batch
+format needs int64 indices (io/coo_native.py) — the state itself scales.
 
 Layouts must be built with ``align_chunks = mesh g-size`` so every shard
 gets whole chunks (layout.py guarantees equal blocks).
@@ -23,11 +40,26 @@ gets whole chunks (layout.py guarantees equal blocks).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.layout import GenomeLayout, build_layout
-from ..models.runs import GenomeState, ReadBatch, RunsConfig, RunsEngine, StepParams
+from ..models.layout import BUCKET, DS, GenomeLayout, build_layout
+from ..models.runs import (
+    GenomeState,
+    ReadBatch,
+    RunsConfig,
+    RunsEngine,
+    StepAux,
+    StepParams,
+)
+from ..ops import genome_ops as gops
+from ..ops.scores import site_scores_t
+
+# benefit CCL piece weights 0.95..0.05 (reference.py:241-269); keep the
+# accumulation order identical to ops/genome_ops.expected_benefit
+_WEIGHTS = [float(w) for w in np.arange(0.05, 1.0, 0.1)[::-1]]
 
 
 def make_mesh(devices=None, barcode_shards: int = 1, name_g: str = "g", name_b: str = "b") -> Mesh:
@@ -39,11 +71,7 @@ def make_mesh(devices=None, barcode_shards: int = 1, name_g: str = "g", name_b: 
 
 
 class ShardedRunsEngine(RunsEngine):
-    """RunsEngine whose jitted step carries genome/barcode shardings.
-
-    The step function body is identical to the single-chip engine — GSPMD
-    partitions it from the in/out shardings below.
-    """
+    """RunsEngine whose step is an explicit shard_map SPMD program."""
 
     def __init__(
         self,
@@ -52,42 +80,289 @@ class ShardedRunsEngine(RunsEngine):
         model=None,
         config: RunsConfig = RunsConfig(),
     ):
-        super().__init__(layout, model, config)
         self.mesh = mesh
-        g = mesh.axis_names[-1]
-        b = mesh.axis_names[0] if len(mesh.axis_names) > 1 else None
-        gd = mesh.shape[g]
-        assert layout.G_pad % (gd * 1) == 0
-        assert (layout.G_pad // layout.Gd_pad) == 100
+        axes = mesh.axis_names
+        self._axb, self._axg = axes[0], axes[-1]
+        self.Sb = mesh.shape[self._axb]
+        self.Sg = mesh.shape[self._axg]
+        # relax the base class's single-chip scatter-range assert to per-shard
+        self._shard_div = (self.Sb, self.Sg)
+        assert layout.G_pad % self.Sg == 0
+        assert (layout.G_pad // self.Sg) % DS == 0
+        assert layout.n_barcodes % self.Sb == 0, (layout.n_barcodes, self.Sb)
+        super().__init__(layout, model, config)
+        assert self._ptables is None, "pallas scores unsupported in sharded step"
+        self.Gl = layout.G_pad // self.Sg
+        self.Gdl = self.Gl // DS
+        self.nb_l = self.nb // self.Sb
+        self.halo = int(min(self.Gdl, config.ccl_clamp_ds))
 
         def ns(*spec):
             return NamedSharding(mesh, P(*spec))
 
-        state_shardings = GenomeState(
-            coverage=ns(b, None, g),
-            zeroed=ns(b, g),
-            bucket_on=ns(b, None),
-            read_starts=ns(None, None),
-            strat=ns(b, g, None),
+        b, g = self._axb, self._axg
+        self._state_specs = GenomeState(
+            coverage=P(b, None, g), zeroed=P(b, g), bucket_on=P(b, None),
+            read_starts=P(None, None), strat=P(b, g, None),
         )
-        batch_shardings = ReadBatch(*([ns(None)] * len(ReadBatch._fields)))
-        params_shardings = StepParams(ns(None), ns(), ns())
-        self._state_shardings = state_shardings
-        # shard the big device constants along the genome axis too
-        self.c_seq = jax.device_put(self.c_seq, ns(g))
-        self.c_site_valid = jax.device_put(self.c_site_valid, ns(g))
-        self.c_seg_start = jax.device_put(self.c_seg_start, ns(g))
-        self.c_seg_end = jax.device_put(self.c_seg_end, ns(g))
-        self.c_strat_valid = jax.device_put(self.c_strat_valid, ns(g))
-        self.c_fhat_idx = jax.device_put(self.c_fhat_idx, ns(g))
-        self.c_bucket_idx = jax.device_put(self.c_bucket_idx, ns(g))
-        self.c_contig_id_ds = jax.device_put(self.c_contig_id_ds, ns(g))
+        self._state_shardings = GenomeState(
+            coverage=ns(b, None, g), zeroed=ns(b, g), bucket_on=ns(b, None),
+            read_starts=ns(None, None), strat=ns(b, g, None),
+        )
+        batch_specs = ReadBatch(*([P()] * len(ReadBatch._fields)))
+        params_specs = StepParams(P(), P(), P())
+        # genome-axis constants move to their shards once at init
+        const_specs = (
+            P(None, g),  # onehot_ref [5, G]
+            P(g),        # seq [G]
+            P(g),        # site_valid [G]
+            P(g),        # contig_id_ds [Gd]
+            P(g),        # seg_start [Gd]
+            P(g),        # seg_end [Gd]
+            P(g),        # strat_valid [Gd]
+            P(g),        # fhat_idx [Gd]
+            P(g),        # bucket_idx [Gd]
+            P(g),        # win_id_ds [Gd]
+            P(None),     # bucket_src [NBk]
+            P(None),     # bucket_valid [NBk]
+            P(None),     # fhat_valid [Wf]
+            P(None),     # fhat_rows [Wf]
+            P(None),     # contig_denom [C+1]
+        )
+        self._consts = tuple(
+            jax.device_put(c, ns(*spec))
+            for c, spec in zip(
+                (
+                    self.c_onehot_ref, self.c_seq, self.c_site_valid,
+                    self.c_contig_id_ds, self.c_seg_start, self.c_seg_end,
+                    self.c_strat_valid, self.c_fhat_idx, self.c_bucket_idx,
+                    self.c_win_id_ds, self.c_bucket_src, self.c_bucket_valid,
+                    self.c_fhat_valid, self.c_fhat_rows, self.c_contig_denom,
+                ),
+                const_specs,
+            )
+        )
+        aux_specs = StepAux(
+            any_on=P(), updated=P(), threshold=P(), mean_coverage=P(), vec=P(),
+            scores=(P(b, g) if config.debug_aux else None),
+        )
+        mapped = jax.shard_map(
+            self._step_local,
+            mesh=mesh,
+            in_specs=(self._state_specs, batch_specs, params_specs, const_specs),
+            out_specs=(self._state_specs, aux_specs),
+            check_vma=False,
+        )
         self.step = jax.jit(
-            self._step,
-            in_shardings=(state_shardings, batch_shardings, params_shardings),
-            out_shardings=(state_shardings, None),
+            lambda state, batch, params: mapped(state, batch, params, self._consts),
             donate_argnums=(0,),
         )
+
+    # ---------------------------------------------------------------- body ---
+
+    def _step_local(self, state: GenomeState, batch: ReadBatch, params: StepParams, consts):
+        """Per-shard step body. Mirrors RunsEngine._step stage by stage; each
+        comment cites the single-chip line it reproduces."""
+        (onehot_l, seq_l, valid_l, cid_l, seg_s_l, seg_e_l, strat_v_l,
+         fidx_l, bidx_l, win_l, bucket_src, bucket_valid, fhat_valid,
+         fhat_rows, contig_denom) = consts
+        cfg = self.config
+        dtype = self.dtype
+        bdt = self.benefit_dtype
+        axg, axb = self._axg, self._axb
+        both = (axb, axg)
+        Sg = self.Sg
+        s = lax.axis_index(axg)
+        b_sh = lax.axis_index(axb)
+        nb_l, _, Gl = state.coverage.shape
+        Gdl = Gl // DS
+        halo = self.halo
+        G = self.layout.G_pad                       # global (static)
+        g0 = s * Gl                                 # global site offset
+        row0 = s * Gdl                              # global ds-row offset
+        b0 = b_sh * nb_l                            # global barcode offset
+
+        # -- 1. coverage increments (runs.py step 1) --------------------------
+        # match-run +1/-1 boundaries: keep the markers that land in this
+        # shard; the cross-shard carry is the net number of runs still open
+        # at the shard boundary, all_gathered as one integer per barcode row
+        bc_g = batch.mr_flat // G
+        gpos = batch.mr_flat - bc_g * G
+        bc_l = bc_g - b0
+        on_row = (bc_l >= 0) & (bc_l < nb_l) & (batch.mr_len > 0)
+        OOB = nb_l * Gl
+        st_l = gpos - g0
+        idx_s = jnp.where(on_row & (st_l >= 0) & (st_l < Gl), bc_l * Gl + st_l, OOB)
+        en_l = st_l + batch.mr_len
+        idx_e = jnp.where(on_row & (en_l >= 0) & (en_l < Gl), bc_l * Gl + en_l, OOB)
+        bounds = (
+            jnp.zeros(OOB + 1, jnp.int32)
+            .at[idx_s].add(1, mode="drop")
+            .at[idx_e].add(-1, mode="drop")
+        )[:OOB].reshape(nb_l, Gl)
+        net = jnp.sum(bounds, axis=1)                       # [nb_l] int32
+        nets = lax.all_gather(net, axg)                     # [Sg, nb_l]
+        before = (jnp.arange(Sg, dtype=jnp.int32) < s)[:, None]
+        carry = jnp.sum(jnp.where(before, nets, 0), axis=0)  # [nb_l]
+        match_inc = jnp.cumsum(bounds, axis=1) + carry[:, None]
+
+        bcs = batch.ex_flat // G                            # bc*5 + sym
+        gpos_e = batch.ex_flat - bcs * G
+        bc_e = bcs // 5 - b0
+        sym_e = bcs % 5
+        g_le = gpos_e - g0
+        ok = (bc_e >= 0) & (bc_e < nb_l) & (g_le >= 0) & (g_le < Gl)
+        OOB2 = nb_l * 5 * Gl
+        idx = jnp.where(ok, (bc_e * 5 + sym_e) * Gl + g_le, OOB2)
+        exp_inc = (
+            jnp.zeros(OOB2 + 1, jnp.int32)
+            .at[idx].add(batch.ex_w.astype(jnp.int32), mode="drop")
+        )[:OOB2].reshape(nb_l, 5, Gl)
+        inc = exp_inc + onehot_l[None] * match_inc[:, None, :]
+        coverage = state.coverage + inc
+        changed_l = jnp.any(inc != 0, axis=(0, 1))          # [Gl]
+        changed_site = lax.psum(changed_l.astype(jnp.int32), axb) > 0
+
+        covsum = jnp.sum(coverage, axis=1)
+        covsum_f = covsum.astype(dtype)
+
+        # -- 2. scores (runs.py step 2) ---------------------------------------
+        fresh, _entropy = site_scores_t(coverage, seq_l, self.tables)
+        maxed = covsum >= cfg.freeze_cov
+        fresh = jnp.maximum(fresh, 0.0)
+        scores = jnp.where(valid_l[None, :], fresh, 0.0)
+        scores = jnp.where(maxed, self.tiny, scores)
+
+        covsum_ds = jnp.sum(covsum_f.reshape(nb_l, Gdl, DS), axis=2, dtype=bdt)
+        pc_local = jnp.zeros(self.layout.n_contigs + 1, bdt).at[cid_l].add(
+            jnp.sum(covsum_ds, axis=0)
+        )
+        per_contig = lax.psum(pc_local, both)               # exact: integers
+        contig_mean = (per_contig / contig_denom.astype(bdt)).astype(dtype)
+        thr_ds = jnp.floor(contig_mean / cfg.dropout_mod)[cid_l]
+        active_ds = (contig_mean > cfg.dropout_min_mean)[cid_l]
+        # "any barcode is low at this site" — OR across barcode shards
+        low = jnp.any(covsum_f.reshape(nb_l, Gdl, DS) <= thr_ds[None, :, None], axis=0)
+        low = lax.psum(low.astype(jnp.int32), axb) > 0
+        drop_site = (low & active_ds[:, None]).reshape(Gl) & valid_l
+        drop_now = jnp.broadcast_to(drop_site[None, :], (nb_l, Gl))
+
+        recomputed = changed_site[None, :] & ~maxed
+        hold_zero = state.zeroed & ~recomputed
+        scores = jnp.where(hold_zero | drop_now, 0.0, scores)
+        zeroed = drop_now | hold_zero
+
+        # -- 3. bucket switches (runs.py step 3) -------------------------------
+        NWp = self.NW_pad
+        row_off = jnp.arange(nb_l, dtype=jnp.int32)[:, None] * NWp
+        win_idx = jnp.where((win_l >= 0)[None, :], win_l[None, :] + row_off, nb_l * NWp)
+        winsums = (
+            jnp.zeros(nb_l * NWp, bdt)
+            .at[win_idx.ravel()].add(covsum_ds.ravel(), mode="drop")
+            .reshape(nb_l, NWp)
+        )
+        winsums = lax.psum(winsums, axg)                    # exact: integers
+        wsum = jnp.take(winsums, jnp.maximum(bucket_src, 0), axis=1)
+        bucket_mean = jnp.where((bucket_src >= 0)[None, :], wsum / BUCKET, 0.0).astype(dtype)
+        bucket_on = state.bucket_on | (
+            (bucket_mean >= params.bucket_threshold) & bucket_valid[None, :]
+        )
+        any_on = lax.psum(jnp.any(bucket_on).astype(jnp.int32), axb) > 0
+
+        # -- 4. fhat (runs.py step 4): replicated compute ----------------------
+        read_starts = gops.scatter_add_2d(
+            state.read_starts, batch.rs_row, batch.rs_strand, batch.rs_w
+        )
+        fhat_w = gops.fhat_pointmass(
+            read_starts.astype(bdt), fhat_valid, self.layout.n_fhat,
+            cfg.fhat_alpha, cfg.fhat_p0,
+        )
+        tot = jnp.sum(fhat_w * fhat_rows.astype(bdt)[:, None])
+        fhat_exp = jnp.where(
+            (fidx_l >= 0)[:, None], jnp.take(fhat_w, jnp.maximum(fidx_l, 0), axis=0), 0.0
+        )  # [Gdl, 2]
+        fhat_exp = fhat_exp * jnp.where(tot > 0, cfg.on_target / tot, 0.0)
+        fhat_exp = fhat_exp.astype(jnp.float32).astype(bdt)
+
+        # -- 5. benefit (runs.py step 5) ---------------------------------------
+        # genome-axis cumulative sum: local cumsum + all_gathered prefix, then
+        # halo exchange of the boundary values each neighbour's windows read
+        scores_ds = jnp.sum(scores.reshape(nb_l, Gdl, DS), axis=2, dtype=bdt)
+        cs_l = jnp.cumsum(scores_ds, axis=-1, dtype=bdt)     # [nb_l, Gdl]
+        totals = lax.all_gather(cs_l[:, -1], axg)            # [Sg, nb_l]
+        prefix = jnp.sum(jnp.where(before, totals, 0.0), axis=0)  # exact: f32 summands
+        cs_glob = jnp.concatenate([prefix[:, None], cs_l + prefix[:, None]], axis=1)
+        # left halo: previous shard's last `halo` cumsum values; right halo:
+        # next shard's first `halo` (post-zero) values. Edge shards receive
+        # zeros — never read, because hi <= seg_end and lo >= seg_start keep
+        # indices inside the genome
+        fwd_perm = [(i, i + 1) for i in range(Sg - 1)]
+        rev_perm = [(i + 1, i) for i in range(Sg - 1)]
+        left = lax.ppermute(cs_glob[:, Gdl - halo : Gdl], axg, fwd_perm) if Sg > 1 else jnp.zeros((nb_l, halo), bdt)
+        right = lax.ppermute(cs_glob[:, 1 : halo + 1], axg, rev_perm) if Sg > 1 else jnp.zeros((nb_l, halo), bdt)
+        ext = jnp.concatenate([left, cs_glob, right], axis=1)  # rows row0-halo .. row0+Gdl+halo
+
+        rows_g = row0 + jnp.arange(Gdl, dtype=jnp.int32)
+        mu_ds = cfg.mu // DS
+        wins = jnp.concatenate([
+            jnp.asarray([mu_ds], jnp.int32).reshape(1),
+            jnp.clip(params.approx_ccl // DS, 1, halo),
+        ])  # [11]
+        hi = jnp.minimum(rows_g[None, :] + wins[:, None], seg_e_l[None, :])
+        lo = jnp.maximum(rows_g[None, :] + 1 - wins[:, None], seg_s_l[None, :])
+        off = halo - row0
+        cs_hi = jnp.take(ext, (hi + off).reshape(-1), axis=-1).reshape(nb_l, 11, Gdl)
+        cs_lo = jnp.take(ext, (lo + off).reshape(-1), axis=-1).reshape(nb_l, 11, Gdl)
+        base = ext[:, None, halo : halo + Gdl]               # cs[r]
+        base1 = ext[:, None, halo + 1 : halo + 1 + Gdl]      # cs[r+1]
+        fwd = cs_hi - base
+        rev = base1 - cs_lo
+        smu = jnp.stack([fwd[:, 0, :], rev[:, 0, :]], axis=-1)
+        ebf = _WEIGHTS[0] * fwd[:, 1, :]
+        ebr = _WEIGHTS[0] * rev[:, 1, :]
+        for k in range(1, 10):
+            ebf = ebf + _WEIGHTS[k] * fwd[:, 1 + k, :]
+            ebr = ebr + _WEIGHTS[k] * rev[:, 1 + k, :]
+        benefit = jnp.maximum(jnp.stack([ebf, ebr], axis=-1) - smu, 0.0)
+
+        # -- 6. threshold + gated strategy (runs.py step 6) --------------------
+        fhat_b = jnp.broadcast_to(fhat_exp[None], benefit.shape)
+        norm = lax.pmax(jnp.max(benefit), both)
+        any_nz = lax.psum(jnp.any(benefit > 0).astype(jnp.int32), both) > 0
+        counts_l, fsum_l = gops.bin_benefit(benefit, fhat_b, norm, 192)
+        counts = lax.psum(counts_l, both)                   # exact: integers
+        fsum = lax.psum(fsum_l, both)                       # exact: f32 summands
+        ubar0 = lax.psum(gops.ubar0_partial(fhat_b, smu, bdt), both)
+        threshold = gops.threshold_from_bins(
+            counts, fsum, norm, ubar0, params.time_cost.astype(bdt), 192
+        )
+        strat_cand = benefit >= threshold
+        gate = jnp.take(bucket_on, jnp.maximum(bidx_l, 0), axis=1) & (bidx_l >= 0)[None, :]
+        do_update = any_on & any_nz
+        write = do_update & gate & strat_v_l[None, :]
+        strat = jnp.where(write[:, :, None], strat_cand, state.strat)
+
+        new_state = GenomeState(
+            coverage=coverage, zeroed=zeroed, bucket_on=bucket_on,
+            read_starts=read_starts, strat=strat,
+        )
+        mean_cov = (
+            lax.psum(jnp.sum(covsum_ds), both) / self.n_real_sites
+        ).astype(dtype)
+        aux = StepAux(
+            any_on=any_on,
+            updated=do_update,
+            threshold=threshold,
+            mean_coverage=mean_cov,
+            vec=jnp.stack([
+                any_on.astype(dtype), do_update.astype(dtype),
+                threshold.astype(dtype), mean_cov.astype(dtype),
+            ]),
+            scores=scores if cfg.debug_aux else None,
+        )
+        return new_state, aux
+
+    # ---------------------------------------------------------------- util ---
 
     def init_state(self) -> GenomeState:
         state = super().init_state()
