@@ -125,10 +125,13 @@ class RunsConfig:
     ccl_clamp_ds: int = 4096
     # return the post-mask score array in StepAux (parity tests/debugging)
     debug_aux: bool = False
-    # fused Pallas score kernel (ops/pallas_scores.py). Measured neutral-to-
-    # slightly-slower than the XLA closed form inside the full step (XLA fuses
-    # the masking chain into the score math); kept as an option.
-    use_pallas_scores: bool | None = False
+    # Historical note: fused Pallas kernels for the score closed form and the
+    # benefit windows were built and interpret-validated in round 1. Measured
+    # on hardware they lost: the score kernel was neutral-to-slower than the
+    # XLA closed form (XLA already fuses the masking chain into the matmuls)
+    # and later failed the Mosaic remote compile outright; the benefit kernel
+    # is f32-only and incompatible with the f64 bit-exact decision path that
+    # is the production default. Both were removed (VERDICT r1 item 7).
 
 
 class RunsEngine:
@@ -211,12 +214,6 @@ class RunsEngine:
         denom = np.append(lay.lengths * lay.n_barcodes, 1).astype(np.float64)
         self.c_contig_denom = jnp.asarray(denom, self.dtype)
         self.n_real_sites = float(lay.lengths.sum())
-        use_pallas = bool(config.use_pallas_scores) and self.dtype == jnp.float32
-        self._ptables = None
-        if use_pallas:
-            from ..ops.pallas_scores import PallasScoreTables
-
-            self._ptables = PallasScoreTables(self.tables)
         self.step = jax.jit(self._step, donate_argnums=(0,))
 
     # ------------------------------------------------------------- state ----
@@ -275,12 +272,7 @@ class RunsEngine:
         bdt = self.benefit_dtype
 
         # -- 2. scores -------------------------------------------------------
-        if self._ptables is not None:
-            from ..ops.pallas_scores import site_scores_pallas
-
-            fresh = site_scores_pallas(coverage, self.c_seq, self._ptables)
-        else:
-            fresh, _entropy = site_scores_t(coverage, self.c_seq, self.tables)  # [NB, G]
+        fresh, _entropy = site_scores_t(coverage, self.c_seq, self.tables)  # [NB, G]
         maxed = covsum >= cfg.freeze_cov
         # the score is a mutual information (>= 0); f32 cancellation can leave
         # ~1e-5 negatives at resolved sites

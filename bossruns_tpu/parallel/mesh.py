@@ -91,7 +91,6 @@ class ShardedRunsEngine(RunsEngine):
         assert (layout.G_pad // self.Sg) % DS == 0
         assert layout.n_barcodes % self.Sb == 0, (layout.n_barcodes, self.Sb)
         super().__init__(layout, model, config)
-        assert self._ptables is None, "pallas scores unsupported in sharded step"
         self.Gl = layout.G_pad // self.Sg
         self.Gdl = self.Gl // DS
         self.nb_l = self.nb // self.Sb

@@ -106,29 +106,6 @@ def test_fhat_pointmass_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(fj), fo, rtol=1e-9)
 
 
-def test_pallas_benefit_kernel_matches_xla(rng):
-    """Barrel-shift Pallas benefit kernel (interpret mode) vs the XLA path."""
-    import jax.numpy as jnp
-    from jax.experimental.pallas import tpu as pltpu
-
-    import bossruns_tpu.ops.pallas_benefit as pb
-
-    n = 2048
-    x = (rng.random((2, n)) * np.exp(rng.normal(0, 2, (2, n)))).astype(np.float32)
-    seg_s = np.array([0] * 1200 + [1200] * 848, np.int32)
-    seg_e = np.array([1200] * 1200 + [2048] * 848, np.int32)
-    ccl = np.array([460, 300, 200, 150, 110, 80, 60, 40, 20, 8], np.int32)
-    smu_x, ben_x = gops.expected_benefit(
-        jnp.asarray(x), jnp.asarray(ccl), jnp.asarray(seg_s), jnp.asarray(seg_e)
-    )
-    with pltpu.force_tpu_interpret_mode():
-        smu_p, ben_p = pb.expected_benefit_pallas(
-            jnp.asarray(x), jnp.asarray(ccl), jnp.asarray(seg_s), jnp.asarray(seg_e)
-        )
-    np.testing.assert_allclose(np.asarray(smu_p), np.asarray(smu_x), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(ben_p), np.asarray(ben_x), atol=2e-2, rtol=1e-4)
-
-
 def test_estimate_fhat_priors():
     """Method-of-moments alpha/p0 (readstartdist.py:156-178 parity)."""
     from bossruns_tpu.ops.genome_ops import estimate_fhat_priors

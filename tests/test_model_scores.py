@@ -89,25 +89,6 @@ def test_clip_at_990(rng):
     assert float(s1[0]) == float(s2[0])
 
 
-def test_pallas_score_kernel_matches_jnp(rng):
-    """Fused Pallas kernel (interpret mode on CPU) vs the XLA closed form."""
-    import jax.numpy as jnp
-
-    from bossruns_tpu.ops.pallas_scores import PallasScoreTables, site_scores_pallas
-    from bossruns_tpu.ops.scores import ScoreTables, site_scores_t
-
-    for ploidy in (1, 2):
-        m = make_model(ploidy=ploidy)
-        t = ScoreTables(m, jnp.float32)
-        pt = PallasScoreTables(t)
-        G = 4096
-        counts = rng.integers(0, 35, size=(2, 5, G)).astype(np.int32)
-        ref = rng.integers(0, 4, G).astype(np.int32)
-        s_ref, _ = site_scores_t(jnp.asarray(counts), jnp.asarray(ref), t)
-        s_pl = site_scores_pallas(jnp.asarray(counts), jnp.asarray(ref), pt, interpret=True)
-        np.testing.assert_allclose(np.asarray(s_pl), np.asarray(s_ref), atol=5e-5)
-
-
 def test_score_matmuls_pin_highest_precision():
     """Every dot_general in the scoring closed form must carry HIGHEST
     precision. TPU matmuls otherwise truncate f32 inputs to bf16 — losing
