@@ -77,9 +77,11 @@ AlnResult banded_align(const int8_t* q, int32_t m, const int8_t* t, int32_t n,
         const bool qc_ok = qc < 4;
         int32_t* RESTRICT prev = ws.prev.data();
         int32_t* RESTRICT curr = ws.curr.data();
-        // valid slots: j = b + lo in [0, n]
+        // valid slots: j = b + lo in [0, n]; rows whose band lies entirely
+        // past the window end (lo > n) have NO valid slots — bhi goes
+        // negative there, so every fill loop below must clamp to [0, bw)
         const int32_t blo = std::max(0, -lo);
-        const int32_t bhi = std::min(bw - 1, n - lo);  // inclusive
+        const int32_t bhi = std::min(bw - 1, n - lo);  // inclusive; may be < 0
         // slots with a diagonal predecessor need j >= 1
         const int32_t bdiag = std::max(blo, 1 - lo);
         for (int32_t b = blo; b < bdiag && b <= bhi; ++b) {  // j == 0: up only
@@ -103,8 +105,9 @@ AlnResult banded_align(const int8_t* q, int32_t m, const int8_t* t, int32_t n,
         }
         for (int32_t b = blo; b <= bhi; ++b)  // vectorisable
             tr[b] = curr[b] == vdu[b] ? opv[b] : 2;
-        for (int32_t b = 0; b < blo; ++b) { curr[b] = INF; tr[b] = 0; }
-        for (int32_t b = bhi + 1; b < bw; ++b) { curr[b] = INF; tr[b] = 0; }
+        const int32_t fill_lo = std::min(blo, bw);
+        for (int32_t b = 0; b < fill_lo; ++b) { curr[b] = INF; tr[b] = 0; }
+        for (int32_t b = std::max(bhi + 1, fill_lo); b < bw; ++b) { curr[b] = INF; tr[b] = 0; }
         std::swap(ws.prev, ws.curr);
     }
 

@@ -210,3 +210,31 @@ def test_lookup_join_matches_searchsorted(rng):
     np.testing.assert_array_equal(
         count[exp_hit], offsets_real[loc_c[exp_hit] + 1] - offsets_real[loc_c[exp_hit]]
     )
+
+
+def test_overhanging_reads_near_contig_ends(rng):
+    """Reads overhanging a short contig's end clip the DP window so some band
+    rows have NO valid target columns (bhi < 0 in native/banded_align.cpp).
+    A fill-loop bound regression here corrupted the heap silently; this pins
+    the case end-to-end through map_sequences."""
+    genome = random_genome(rng, {"tiny": 30_000})
+    lay = build_layout(genome, min_len=10_000)
+    al = TpuAligner(lay, k=13, w=5, min_votes=3)
+    seq = genome["tiny"]
+    extra = "".join(np.random.default_rng(3).choice(list("ACGT"), 4000))
+    reads = {
+        # starts 2 kb before the end, runs 4 kb past it
+        "overhang_end": seq[28_000:] + extra,
+        # ends exactly at the contig end
+        "flush_end": seq[25_000:30_000],
+        # fully internal control
+        "internal": seq[10_000:16_000],
+    }
+    rec = al.map_sequences(reads)
+    got = {rec.qname[i]: i for i in range(len(rec.qname))}
+    assert "internal" in got
+    for rid, i in got.items():
+        assert 0 <= rec.tstart[i] < rec.tend[i] <= 30_000
+    if "overhang_end" in got:
+        i = got["overhang_end"]
+        assert rec.tend[i] <= 30_000  # never walks past the contig
