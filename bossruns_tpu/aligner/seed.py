@@ -43,25 +43,45 @@ def _pow2(n: int, floor: int = 1 << 10) -> int:
     return p
 
 
+# process-wide pad hysteresis: an AEONS experiment rebuilds the pool/contig
+# index every batch with a wobbling minimizer count; each distinct padded
+# shape costs a full remote XLA compile of the seeding kernels on the axon
+# toolchain. Reuse the previous pad when it is within 2x of the need (so
+# wobble across a pow2 boundary keeps one shape) but never inflate beyond
+# 2x — the sort-join lookup cost scales with the padded index size, so a
+# small index must not inherit a huge previous pad.
+_PAD_PREV = {"keys": 1 << 10, "pos": 1 << 10}
+
+
+def _pad_hysteresis(n: int, which: str) -> int:
+    pad = _pow2(max(n, 1))
+    prev = _PAD_PREV[which]
+    if pad < prev <= 2 * pad:
+        return prev
+    _PAD_PREV[which] = pad
+    return pad
+
+
 class DeviceIndex:
     """Device-resident copy of the minimizer index (int32).
 
-    Arrays pad to power-of-two lengths so rebuilt indexes (AEONS rebuilds the
-    pool index every batch) hit the jit cache instead of recompiling the
-    seeding kernels: pad keys are INT32_MAX sentinels (> any 30-bit k-mer
-    code, so lookups never match) with zero occurrence counts."""
+    Arrays pad to power-of-two lengths (with 2x-bounded hysteresis, see
+    _pad_hysteresis) so rebuilt indexes (AEONS rebuilds the pool index every
+    batch) hit the jit cache instead of recompiling the seeding kernels: pad
+    keys are INT32_MAX sentinels (> any 30-bit k-mer code, so lookups never
+    match) with zero occurrence counts."""
 
     def __init__(self, idx: MinimizerIndex):
         assert idx.positions.max(initial=0) < 2**31
         self.k, self.w = idx.k, idx.w
         nk = idx.keys.shape[0]
-        nkp = _pow2(nk)
+        nkp = _pad_hysteresis(nk, "keys")
         keys = np.full(nkp, np.iinfo(np.int32).max, np.int32)
         keys[:nk] = idx.keys
         offsets = np.full(nkp + 1, idx.offsets[-1], np.int64)
         offsets[: nk + 1] = idx.offsets
         npos = idx.positions.shape[0]
-        npp = _pow2(max(npos, 1))
+        npp = _pad_hysteresis(npos, "pos")
         positions = np.zeros(npp, np.int64)
         positions[:npos] = idx.positions
         strands = np.zeros(npp, np.int8)
