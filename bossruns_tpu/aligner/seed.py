@@ -271,13 +271,15 @@ def _seed_and_vote_jit(reads, read_lens, keys, offsets, positions, strands, n_ke
 
     m = read_lens.astype(jnp.int32)
     tstart = jnp.where(rev, bkey - (m - k), bkey)
-    return {
-        "mapped": bvotes > 0,
-        "strand": rev.astype(jnp.int32),
-        "tstart": tstart,
-        "votes": bvotes,
-        "second": jnp.maximum(second, 0),
-    }
+    # ONE packed int32 output [5, R] (a D2H pull costs a ~33 ms tunnel round
+    # trip regardless of size; five field pulls would dominate the kernel)
+    return jnp.stack([
+        (bvotes > 0).astype(jnp.int32),
+        rev.astype(jnp.int32),
+        tstart,
+        bvotes,
+        jnp.maximum(second, 0),
+    ])
 
 
 def anchor_budget(L: int, w: int) -> int:
@@ -291,7 +293,7 @@ def anchor_budget(L: int, w: int) -> int:
 
 def seed_and_vote(reads, dev_idx: DeviceIndex, read_lens):
     """[R, L] padded reads -> per-read best candidate dict of [R] arrays."""
-    return _seed_and_vote_jit(
+    packed = np.asarray(_seed_and_vote_jit(
         reads,
         read_lens,
         dev_idx.keys,
@@ -302,7 +304,11 @@ def seed_and_vote(reads, dev_idx: DeviceIndex, read_lens):
         dev_idx.k,
         dev_idx.w,
         anchor_budget(reads.shape[1], dev_idx.w),
-    )
+    ))  # single D2H transfer
+    names = ("mapped", "strand", "tstart", "votes", "second")
+    out = {n: packed[i] for i, n in enumerate(names)}
+    out["mapped"] = out["mapped"].astype(bool)
+    return out
 
 
 @partial(jax.jit, static_argnames=("k", "ncand", "tol", "w", "budget"))
@@ -356,15 +362,11 @@ def _seed_candidates_jit(reads, keys, offsets, positions, strands, k: int, ncand
             tmax = jnp.max(jnp.where(cluster, gp, -big), axis=1)
             results.append((bvote, jnp.full_like(bvote, strand_space), qmin, qmax, tmin, tmax))
             v = jnp.where(jnp.abs(keys_flat - bkey[:, None]) <= 2 * tol, -1, v)
+    # ONE packed int32 output [R, 6, 2*ncand]: a device->host pull costs a
+    # ~33 ms tunnel round trip regardless of size, so six separate field
+    # transfers would cost more than the seeding compute
     stack = lambda i: jnp.stack([res[i] for res in results], axis=1)
-    return {
-        "votes": stack(0),
-        "strand": stack(1),
-        "qmin": stack(2),
-        "qmax": stack(3),
-        "tmin": stack(4),
-        "tmax": stack(5),
-    }
+    return jnp.stack([stack(i) for i in range(6)], axis=1)
 
 
 def seed_candidates(reads, dev_idx: DeviceIndex, ncand: int = 4, tol: int | None = None):
@@ -380,4 +382,6 @@ def seed_candidates(reads, dev_idx: DeviceIndex, ncand: int = 4, tol: int | None
         dev_idx.k, ncand, int(tol), dev_idx.w,
         anchor_budget(reads.shape[1], dev_idx.w),
     )
-    return {k_: np.asarray(v) for k_, v in out.items()}
+    packed = np.asarray(out)  # single D2H transfer
+    names = ("votes", "strand", "qmin", "qmax", "tmin", "tmax")
+    return {n: packed[:, i] for i, n in enumerate(names)}
