@@ -159,7 +159,12 @@ class TpuAligner:
                 continue
             if rd["strand"]:
                 q = _RC[np.minimum(q, 4)][::-1].copy()
-            half = int(np.clip(64 + 0.02 * m, 64, 1024))
+            # band width from the OBSERVED indel drift (winning diagonal
+            # cluster spread) + margin, instead of a worst-case 2% of read
+            # length: typical ONT drift keeps the band near the 64 floor,
+            # ~2-4x less DP work on long reads
+            span = int(rd.get("dspan", 0))
+            half = int(np.clip(span // 2 + 48 + 0.005 * m, 64, 1024))
             ts_pred = int(rd["tstart"])
             # clamp the window to the candidate's contig block so the DP never
             # wanders into inter-contig padding

@@ -259,6 +259,15 @@ def _seed_and_vote_jit(reads, read_lens, keys, offsets, positions, strands, n_ke
     rev = vr > vf
     bvotes = jnp.maximum(vf, vr)
     bkey = jnp.where(rev, kr, kf)
+    # diagonal spread of the winning cluster: observed indel drift across the
+    # read, used by the extension stage to size the DP band (far tighter than
+    # a worst-case length-proportional band)
+    big = jnp.int32(1 << 30)
+    win_keys = jnp.where(rev[:, None], key_r, key_f)
+    in_cluster = (jnp.abs(win_keys - bkey[:, None]) <= DIAG_TOL) & (win_keys < SENTINEL)
+    dmax = jnp.max(jnp.where(in_cluster, win_keys, -big), axis=1)
+    dmin = jnp.min(jnp.where(in_cluster, win_keys, big), axis=1)
+    dspan = jnp.maximum(dmax - dmin, 0)
     # runner-up: best vote count far from the winner (either strand)
     far_f = jnp.abs(key_f - bkey[:, None]) > 2 * DIAG_TOL
     far_r = jnp.abs(key_r - bkey[:, None]) > 2 * DIAG_TOL
@@ -271,14 +280,15 @@ def _seed_and_vote_jit(reads, read_lens, keys, offsets, positions, strands, n_ke
 
     m = read_lens.astype(jnp.int32)
     tstart = jnp.where(rev, bkey - (m - k), bkey)
-    # ONE packed int32 output [5, R] (a D2H pull costs a ~33 ms tunnel round
-    # trip regardless of size; five field pulls would dominate the kernel)
+    # ONE packed int32 output [6, R] (a D2H pull costs a ~33 ms tunnel round
+    # trip regardless of size; per-field pulls would dominate the kernel)
     return jnp.stack([
         (bvotes > 0).astype(jnp.int32),
         rev.astype(jnp.int32),
         tstart,
         bvotes,
         jnp.maximum(second, 0),
+        dspan,
     ])
 
 
@@ -305,7 +315,7 @@ def seed_and_vote(reads, dev_idx: DeviceIndex, read_lens):
         dev_idx.w,
         anchor_budget(reads.shape[1], dev_idx.w),
     ))  # single D2H transfer
-    names = ("mapped", "strand", "tstart", "votes", "second")
+    names = ("mapped", "strand", "tstart", "votes", "second", "dspan")
     out = {n: packed[i] for i, n in enumerate(names)}
     out["mapped"] = out["mapped"].astype(bool)
     return out
