@@ -86,6 +86,27 @@ class StepAux(NamedTuple):
     scores: jax.Array | None = None  # [NB, G] post-mask scores (debug_aux only)
 
 
+class EngineConsts(NamedTuple):
+    """Genome-sized device constants, passed as step arguments (NOT closure
+    captures — see RunsEngine.__init__)."""
+
+    onehot_ref: jax.Array    # [5, G] int8
+    seq: jax.Array           # [G] int32
+    site_valid: jax.Array    # [G] bool
+    contig_id_ds: jax.Array  # [Gd] int32
+    seg_start: jax.Array     # [Gd] int32
+    seg_end: jax.Array       # [Gd] int32
+    strat_valid: jax.Array   # [Gd] bool
+    fhat_idx: jax.Array      # [Gd] int32
+    bucket_idx: jax.Array    # [Gd] int32
+    win_id_ds: jax.Array     # [Gd] int32
+    bucket_src: jax.Array    # [NBk] int32
+    bucket_valid: jax.Array  # [NBk] bool
+    fhat_valid: jax.Array    # [Wf] bool
+    fhat_rows: jax.Array     # [Wf] benefit_dtype
+    contig_denom: jax.Array  # [C+1] dtype
+
+
 class AuxHost(NamedTuple):
     """Host copy of StepAux, fetched with a single device->host transfer.
 
@@ -214,7 +235,24 @@ class RunsEngine:
         denom = np.append(lay.lengths * lay.n_barcodes, 1).astype(np.float64)
         self.c_contig_denom = jnp.asarray(denom, self.dtype)
         self.n_real_sites = float(lay.lengths.sum())
-        self.step = jax.jit(self._step, donate_argnums=(0,))
+        # the genome-sized constants are ARGUMENTS of the jitted step, not
+        # closure captures: closed-over arrays get embedded as literals in
+        # the HLO, which bloats the executable with O(G) bytes (and overflows
+        # the remote-compile request beyond ~30 Mb genomes on this toolchain)
+        self._consts = EngineConsts(
+            onehot_ref=self.c_onehot_ref, seq=self.c_seq,
+            site_valid=self.c_site_valid, contig_id_ds=self.c_contig_id_ds,
+            seg_start=self.c_seg_start, seg_end=self.c_seg_end,
+            strat_valid=self.c_strat_valid, fhat_idx=self.c_fhat_idx,
+            bucket_idx=self.c_bucket_idx, win_id_ds=self.c_win_id_ds,
+            bucket_src=self.c_bucket_src, bucket_valid=self.c_bucket_valid,
+            fhat_valid=self.c_fhat_valid, fhat_rows=self.c_fhat_rows,
+            contig_denom=self.c_contig_denom,
+        )
+        self._jit_step = jax.jit(self._step, donate_argnums=(0,))
+        self.step = lambda state, batch, params: self._jit_step(
+            state, batch, params, self._consts
+        )
 
     # ------------------------------------------------------------- state ----
 
@@ -233,7 +271,8 @@ class RunsEngine:
 
     # -------------------------------------------------------------- step ----
 
-    def _step(self, state: GenomeState, batch: ReadBatch, params: StepParams):
+    def _step(self, state: GenomeState, batch: ReadBatch, params: StepParams,
+              C: EngineConsts):
         cfg = self.config
         dtype = self.dtype
         nb, G = state.coverage.shape[0], state.coverage.shape[2]
@@ -261,7 +300,7 @@ class RunsEngine:
             .add(batch.ex_w.astype(jnp.int32), mode="drop")
             .reshape(nb, 5, G)
         )
-        inc = exp_inc + self.c_onehot_ref[None] * match_inc[:, None, :]
+        inc = exp_inc + C.onehot_ref[None] * match_inc[:, None, :]
         coverage = state.coverage + inc
         # change flag per site: any barcode/symbol touched (reference.py:142
         # flags whole rows of the change mask)
@@ -272,12 +311,12 @@ class RunsEngine:
         bdt = self.benefit_dtype
 
         # -- 2. scores -------------------------------------------------------
-        fresh, _entropy = site_scores_t(coverage, self.c_seq, self.tables)  # [NB, G]
+        fresh, _entropy = site_scores_t(coverage, C.seq, self.tables)  # [NB, G]
         maxed = covsum >= cfg.freeze_cov
         # the score is a mutual information (>= 0); f32 cancellation can leave
         # ~1e-5 negatives at resolved sites
         fresh = jnp.maximum(fresh, 0.0)
-        scores = jnp.where(self.c_site_valid[None, :], fresh, 0.0)
+        scores = jnp.where(C.site_valid[None, :], fresh, 0.0)
         scores = jnp.where(maxed, self.tiny, scores)
 
         # dropout: per-contig mean coverage over sites and barcodes; thresholds
@@ -285,16 +324,16 @@ class RunsEngine:
         # covsum_ds carries integer counts in benefit_dtype: every reduction
         # over it is then exact (and order-invariant, so sharded == single)
         covsum_ds = jnp.sum(covsum_f.reshape(nb, Gd, DS), axis=2, dtype=bdt)  # [NB, Gd]
-        per_contig = jnp.zeros(self.layout.n_contigs + 1, bdt).at[self.c_contig_id_ds].add(
+        per_contig = jnp.zeros(self.layout.n_contigs + 1, bdt).at[C.contig_id_ds].add(
             jnp.sum(covsum_ds, axis=0)
         )
-        contig_mean = (per_contig / self.c_contig_denom.astype(bdt)).astype(dtype)  # [C+1]
-        thr_ds = jnp.floor(contig_mean / cfg.dropout_mod)[self.c_contig_id_ds]  # [Gd]
-        active_ds = (contig_mean > cfg.dropout_min_mean)[self.c_contig_id_ds]   # [Gd]
+        contig_mean = (per_contig / C.contig_denom.astype(bdt)).astype(dtype)  # [C+1]
+        thr_ds = jnp.floor(contig_mean / cfg.dropout_mod)[C.contig_id_ds]  # [Gd]
+        active_ds = (contig_mean > cfg.dropout_min_mean)[C.contig_id_ds]   # [Gd]
         low = jnp.any(
             covsum_f.reshape(nb, Gd, DS) <= thr_ds[None, :, None], axis=0
         )  # [Gd, DS]
-        drop_site = (low & active_ds[:, None]).reshape(G) & self.c_site_valid
+        drop_site = (low & active_ds[:, None]).reshape(G) & C.site_valid
         drop_now = jnp.broadcast_to(drop_site[None, :], (nb, G))
 
         # sticky zeroing: a previously zeroed site stays zero until it changes
@@ -307,7 +346,7 @@ class RunsEngine:
         # -- 3. bucket switches ---------------------------------------------
         # sum ds rows into their source windows (one flat scatter; exact
         # integer sums in benefit_dtype), then gather each bucket's window
-        win = self.c_win_id_ds
+        win = C.win_id_ds
         row_off = jnp.arange(nb, dtype=jnp.int32)[:, None] * self.NW_pad
         win_idx = jnp.where(
             (win >= 0)[None, :], win[None, :] + row_off, nb * self.NW_pad
@@ -318,11 +357,11 @@ class RunsEngine:
             .add(covsum_ds.ravel(), mode="drop")
             .reshape(nb, self.NW_pad)
         )
-        src = self.c_bucket_src
+        src = C.bucket_src
         wsum = jnp.take(winsums, jnp.maximum(src, 0), axis=1)  # [NB, NBk]
         bucket_mean = jnp.where((src >= 0)[None, :], wsum / BUCKET, 0.0).astype(dtype)
         bucket_on = state.bucket_on | (
-            (bucket_mean >= params.bucket_threshold) & self.c_bucket_valid[None, :]
+            (bucket_mean >= params.bucket_threshold) & C.bucket_valid[None, :]
         )
         any_on = jnp.any(bucket_on)
 
@@ -335,14 +374,14 @@ class RunsEngine:
             state.read_starts, batch.rs_row, batch.rs_strand, batch.rs_w
         )
         fhat_w = gops.fhat_pointmass(
-            read_starts.astype(bdt), self.c_fhat_valid, self.layout.n_fhat,
+            read_starts.astype(bdt), C.fhat_valid, self.layout.n_fhat,
             cfg.fhat_alpha, cfg.fhat_p0,
         )  # [Wf, 2]
         # normaliser in closed form over the [Wf] window axis (each window
         # expands onto c_fhat_rows ds rows): replicated-identical regardless
         # of how the genome axis is sharded
-        tot = jnp.sum(fhat_w * self.c_fhat_rows[:, None])
-        fidx = self.c_fhat_idx
+        tot = jnp.sum(fhat_w * C.fhat_rows[:, None])
+        fidx = C.fhat_idx
         fhat_exp = jnp.where(
             (fidx >= 0)[:, None], jnp.take(fhat_w, jnp.maximum(fidx, 0), axis=0), 0.0
         )  # [Gd, 2]
@@ -358,18 +397,18 @@ class RunsEngine:
         smu, benefit = gops.expected_benefit(
             scores_ds,
             jnp.clip(params.approx_ccl // DS, 1, cfg.ccl_clamp_ds),
-            self.c_seg_start,
-            self.c_seg_end,
+            C.seg_start,
+            C.seg_end,
             mu_ds=cfg.mu // DS,
         )  # [NB, Gd, 2] each
 
         # -- 6. threshold + gated strategy ------------------------------------
         fhat_b = jnp.broadcast_to(fhat_exp[None], benefit.shape)
         res = gops.find_strategy(benefit, smu, fhat_b, params.time_cost.astype(bdt))
-        bidx = self.c_bucket_idx
+        bidx = C.bucket_idx
         gate = jnp.take(bucket_on, jnp.maximum(bidx, 0), axis=1) & (bidx >= 0)[None, :]  # [NB, Gd]
         do_update = any_on & res.any_nonzero
-        write = do_update & gate & self.c_strat_valid[None, :]
+        write = do_update & gate & C.strat_valid[None, :]
         strat = jnp.where(write[:, :, None], res.strat, state.strat)
 
         new_state = GenomeState(
