@@ -118,7 +118,22 @@ def site_scores_t(counts_t, ref_base, tables: ScoreTables):
         preferred_element_type=dtype,
         precision=jax.lax.Precision.HIGHEST,
     )
-    lp = ll + tables.log_prior.T[:, ref_base]  # [..., G, N]
+    # prior selection via one-hot matmul, NOT a gather: XLA materialises the
+    # gather as an [N, G_t] temp whose tiny trailing axis tile-pads 25x in
+    # HBM (15.8 GB at a 33 Mb genome — an OOM). The matmul keeps the genome
+    # axis on the vector lanes; with HIGHEST precision the 0/1 products
+    # select exactly, so results are bit-identical to the gather.
+    onehot = (
+        ref_base[..., None, :] == jnp.arange(4, dtype=ref_base.dtype)[:, None]
+    ).astype(dtype)  # [..., 4, N]
+    prior_n = jnp.einsum(
+        "bg,...bn->...gn",
+        tables.log_prior,
+        onehot,
+        preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    lp = ll + prior_n  # [..., G, N]
     lse = jax.scipy.special.logsumexp(lp, axis=-2, keepdims=True)
     log_post = lp - lse
     post = jnp.exp(log_post)
