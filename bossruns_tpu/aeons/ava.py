@@ -39,12 +39,24 @@ class PoolIndex:
             concat[s : s + e.shape[0]] = e
         valid = concat < 4
         idx = build_index(np.where(valid, concat, 0).astype(np.uint8), valid, k=k, w=w, max_occ=max_occ)
-        self.dev = DeviceIndex(idx)
+        # pad floors sized for a working pool (~2 Mb of sequence): small
+        # early-batch indexes share the steady-state kernel shapes
+        self.dev = DeviceIndex(idx, min_keys_pad=1 << 18, min_pos_pad=1 << 19)
         self.k = k
 
     def locate(self, gpos: int) -> int:
         """Global concat position -> sequence index."""
         return int(np.searchsorted(self.starts, gpos, side="right") - 1)
+
+
+# shape economy: every distinct (rows, L, index-pad) triple compiles its own
+# seeding executable (minutes each via the remote XLA compiler, and loading a
+# persistently-cached one still costs tens of seconds per process on this
+# toolchain). Two coarse length buckets + a 256-row floor keep an entire
+# AEONS experiment within a handful of executables; the extra padded compute
+# is noise next to the index-sized sort-join.
+AVA_BUCKETS = (8192, 32768)
+ROW_FLOOR = 256
 
 
 def _bucketize(enc: list[np.ndarray]):
@@ -53,11 +65,11 @@ def _bucketize(enc: list[np.ndarray]):
     i = 0
     while i < len(order):
         ln = enc[order[i]].shape[0]
-        b = next((x for x in LENGTH_BUCKETS if ln <= x), LENGTH_BUCKETS[-1])
+        b = next((x for x in AVA_BUCKETS if ln <= x), AVA_BUCKETS[-1])
         group = []
         while i < len(order):
             ln = enc[order[i]].shape[0]
-            bb = next((x for x in LENGTH_BUCKETS if ln <= x), LENGTH_BUCKETS[-1])
+            bb = next((x for x in AVA_BUCKETS if ln <= x), AVA_BUCKETS[-1])
             if bb != b or len(group) >= 2048:
                 break
             group.append(int(order[i]))
@@ -88,7 +100,7 @@ def find_overlaps(
     )}
     k = pool_index.k
     for L, group in _bucketize(enc):
-        rows_p = 1 << max(4, int(np.ceil(np.log2(max(len(group), 1)))))
+        rows_p = max(ROW_FLOOR, 1 << int(np.ceil(np.log2(max(len(group), 1)))))
         mat = np.full((rows_p, L), 4, np.int8)
         for r, g in enumerate(group):
             mat[r, : min(enc[g].shape[0], L)] = enc[g][:L]

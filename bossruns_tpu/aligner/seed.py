@@ -71,17 +71,21 @@ class DeviceIndex:
     keys are INT32_MAX sentinels (> any 30-bit k-mer code, so lookups never
     match) with zero occurrence counts."""
 
-    def __init__(self, idx: MinimizerIndex):
+    def __init__(self, idx: MinimizerIndex, min_keys_pad: int = 1,
+                 min_pos_pad: int = 1):
+        """min_*_pad: caller-supplied pad floors — callers that rebuild the
+        index repeatedly around a known working size (the AEONS pool) pin the
+        pad so growth through that size never changes shapes."""
         assert idx.positions.max(initial=0) < 2**31
         self.k, self.w = idx.k, idx.w
         nk = idx.keys.shape[0]
-        nkp = _pad_hysteresis(nk, "keys")
+        nkp = _pad_hysteresis(max(nk, min_keys_pad), "keys")
         keys = np.full(nkp, np.iinfo(np.int32).max, np.int32)
         keys[:nk] = idx.keys
         offsets = np.full(nkp + 1, idx.offsets[-1], np.int64)
         offsets[: nk + 1] = idx.offsets
         npos = idx.positions.shape[0]
-        npp = _pad_hysteresis(npos, "pos")
+        npp = _pad_hysteresis(max(npos, min_pos_pad), "pos")
         positions = np.zeros(npp, np.int64)
         positions[:npos] = idx.positions
         strands = np.zeros(npp, np.int8)
