@@ -364,8 +364,39 @@ class ShardedRunsEngine(RunsEngine):
     # ---------------------------------------------------------------- util ---
 
     def init_state(self) -> GenomeState:
-        state = super().init_state()
-        return jax.device_put(state, self._state_shardings)
+        """Build every state array shard-by-shard: materialising the
+        unsharded [NB, 5, G] coverage first would allocate the whole genome
+        on one device (5 GB at 250 Mb; impossible at 3 Gb)."""
+        lay = self.layout
+        strat_valid = np.asarray(lay.strat_row_valid)
+
+        sh = self._state_shardings
+        nb, Gp, Gdp, NBkp, Wfp = self.nb, lay.G_pad, lay.Gd_pad, lay.NBk_pad, lay.Wf_pad
+
+        def norm(idx, shape):
+            """index tuple of (possibly open) slices -> resolved slices."""
+            return tuple(slice(*s.indices(d)[:2]) for s, d in zip(idx, shape))
+
+        def zeros(shape, dtype, sharding):
+            def cb(idx):
+                ix = norm(idx, shape)
+                return np.zeros([s.stop - s.start for s in ix], dtype)
+            return jax.make_array_from_callback(shape, sharding, cb)
+
+        def strat0_cb(idx):
+            ix = norm(idx, (nb, Gdp, 2))
+            blk = strat_valid[ix[1]][None, :, None]
+            return np.broadcast_to(
+                blk, (ix[0].stop - ix[0].start, blk.shape[1], ix[2].stop - ix[2].start)
+            ).copy()
+
+        return GenomeState(
+            coverage=zeros((nb, 5, Gp), np.int32, sh.coverage),
+            zeroed=zeros((nb, Gp), bool, sh.zeroed),
+            bucket_on=zeros((nb, NBkp), bool, sh.bucket_on),
+            read_starts=zeros((Wfp, 2), np.dtype(self.dtype), sh.read_starts),
+            strat=jax.make_array_from_callback((nb, Gdp, 2), sh.strat, strat0_cb),
+        )
 
     def put_batch(self, batch: ReadBatch) -> ReadBatch:
         rep = NamedSharding(self.mesh, P())

@@ -36,14 +36,20 @@ CCL = np.array([30000, 20000, 14000, 10000, 7000, 5000, 3500, 2200, 1200, 400])
 
 
 def test_120mb_diploid_sharded_two_batches():
+    # BOSS_SCALE_MB=250 runs it at human-chr1 scale (BASELINE config 3) —
+    # pair with BOSS_SCALE_DEV=16 virtual devices: the single-process XLA CPU
+    # backend aborts on ~5 GB per-shard-program buffers, which real TPU
+    # shards never see. Default 120 Mb / 8 shards stays under ~12 min.
+    total = int(float(os.environ.get("BOSS_SCALE_MB", "120")) * 1e6)
+    ndev = int(os.environ.get("BOSS_SCALE_DEV", "8"))
     rng = np.random.default_rng(9)
     contigs = {
-        "chrA": rng.integers(0, 4, 70_000_000).astype(np.uint8),
-        "chrB": rng.integers(0, 4, 50_000_000).astype(np.uint8),
+        "chrA": rng.integers(0, 4, int(total * 0.58)).astype(np.uint8),
+        "chrB": rng.integers(0, 4, total - int(total * 0.58)).astype(np.uint8),
     }
-    mesh = make_mesh(jax.devices()[:8], barcode_shards=1)
-    layout = build_layout(contigs, align_chunks=8)
-    assert layout.G_pad >= 120_000_000
+    mesh = make_mesh(jax.devices()[:ndev], barcode_shards=1)
+    layout = build_layout(contigs, align_chunks=ndev)
+    assert layout.G_pad >= total
     eng = ShardedRunsEngine(layout, mesh, make_model(ploidy=2))
     state = eng.init_state()
 
@@ -83,4 +89,4 @@ def test_120mb_diploid_sharded_two_batches():
     assert state.strat.shape == (1, layout.Gd_pad, 2)
     # the per-shard split is even: 8 equal genome blocks
     shard_sizes = {s.data.shape[-1] for s in cov.addressable_shards}
-    assert shard_sizes == {layout.G_pad // 8}
+    assert shard_sizes == {layout.G_pad // ndev}
