@@ -111,3 +111,30 @@ def test_engine_matches_oracle_decisions_diploid(rng):
     ccl = np.array([30000, 20000, 14000, 10000, 7000, 5000, 3500, 2200, 1200, 400])
     state, updated = _soak(rng, lay, eng, n_steps=5, n_obs=100_000, ccl=ccl, tc=5300.0)
     assert updated >= 2
+
+
+def test_step_hlo_embeds_no_genome_constants(rng):
+    """Genome-sized constants must travel as ARGUMENTS of the jitted step:
+    closure-captured arrays get embedded as O(G) literals in the HLO, which
+    bloats executables and overflowed the remote-compile request beyond
+    ~30 Mb genomes (round 2). Lower the step and check no genome-shaped
+    constant appears."""
+    import re
+
+    seq = rng.integers(0, 4, 210_000).astype(np.uint8)
+    lay = build_layout({"a": seq})
+    eng = RunsEngine(lay)
+    state = eng.init_state()
+    b = _random_batch(rng, lay, n_obs=20_000)
+    jb = ReadBatch(**{k: jnp.asarray(v) for k, v in b.items()})
+    params = eng.make_params(
+        np.array([30000, 20000, 14000, 10000, 7000, 5000, 3500, 2200, 1200, 400]),
+        5300.0,
+    )
+    hlo = eng._jit_step.lower(state, jb, params, eng._consts).as_text()
+    g = lay.G_pad
+    bad = [
+        ln for ln in hlo.splitlines()
+        if "constant" in ln and re.search(rf"\[(5,)?{g}\]", ln)
+    ]
+    assert not bad, bad[:3]
