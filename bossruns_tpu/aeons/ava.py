@@ -14,7 +14,7 @@ import logging
 
 import numpy as np
 
-from ..aligner import LENGTH_BUCKETS, encode
+from ..aligner import encode
 from ..aligner.index import build_index
 from ..aligner.seed import DeviceIndex, seed_candidates
 
