@@ -55,23 +55,19 @@ def build_inputs(rng):
     from bossruns_tpu.io.coo_native import split_runs
 
     qual = np.full(sym.shape[0], 40, np.int8)
-    mr_flat, mr_len, ex_flat = split_runs(
-        layout, sym, qual, rstart, rlen.astype(np.int32),
+    from bossruns_tpu.io.coo_native import pad_split
+
+    split = split_runs(
+        layout, sym, qual, rstart.astype(np.int64), rlen.astype(np.int32),
         np.zeros(N_READS, np.int32),
     )
-    rm = 1 << int(np.ceil(np.log2(mr_flat.shape[0])))
-    me = 1 << int(np.ceil(np.log2(max(ex_flat.shape[0], 1))))
-    mr_flat_p = np.zeros(rm, np.int32); mr_flat_p[: mr_flat.shape[0]] = mr_flat
-    mr_len_p = np.zeros(rm, np.int32); mr_len_p[: mr_len.shape[0]] = mr_len
-    ex_flat_p = np.zeros(me, np.int32); ex_flat_p[: ex_flat.shape[0]] = ex_flat
-    ex_w_p = np.zeros(me, np.int8); ex_w_p[: ex_flat.shape[0]] = 1
     batch_np = dict(
-        mr_flat=mr_flat_p, mr_len=mr_len_p, ex_flat=ex_flat_p, ex_w=ex_w_p,
+        pad_split(split),
         rs_row=(rng.integers(0, layout.n_fhat, N_READS)).astype(np.int32),
         rs_strand=rng.integers(0, 2, N_READS).astype(np.int32),
         rs_w=np.ones(N_READS, np.float32),
     )
-    print(f"# match runs {mr_flat.shape[0]}, explicit {ex_flat.shape[0]}, "
+    print(f"# match runs {split[0].shape[0]}, explicit {split[4].shape[0]}, "
           f"bases {pos.shape[0]}", flush=True)
     return layout, batch_np
 

@@ -135,9 +135,10 @@ def build_packed_runs(
 ):
     """Packed per-read-run batch pieces for models.runs.ReadBatch.
 
-    Returns (sym int8 [M], qual int8 [M], rstart int32 [R], rspan int32 [R],
+    Returns (sym int8 [M], qual int8 [M], rstart int64 [R], rspan int32 [R],
     rbc int32 [R]) UNPADDED; callers pad. One C pass per record set emits
-    symbols/quals; site indices are reconstructed on device.
+    symbols/quals; site indices are reconstructed on device. rstart is int64:
+    concatenated-genome offsets exceed int32 beyond ~2.1 Gb.
     """
     lib = native_mod._load()
     if not lib:
@@ -208,7 +209,7 @@ def build_packed_runs(
     return (
         np.concatenate(sym_chunks),
         np.concatenate(qual_chunks),
-        np.asarray(rstarts, np.int32),
+        np.asarray(rstarts, np.int64),
         np.asarray(rspans, np.int32),
         np.asarray(rbcs, np.int32),
     )
@@ -239,7 +240,7 @@ def _build_packed_runs_numpy(layout, record_sets, barcodes):
     return (
         np.concatenate(sym_chunks),
         np.concatenate(qual_chunks),
-        np.asarray(rstarts, np.int32),
+        np.asarray(rstarts, np.int64),
         np.asarray(rspans, np.int32),
         np.asarray(rbcs, np.int32),
     )
@@ -248,45 +249,53 @@ def _build_packed_runs_numpy(layout, record_sets, barcodes):
 def split_runs(layout, sym, qual, rstart, rspan, rbc, qt: int = 0, len_b: int = 5):
     """Split per-base observations into match runs + explicit COO.
 
-    Returns (mr_flat, mr_len, ex_flat) int32 UNPADDED (see
-    models.runs.ReadBatch). C fast path with a vectorised NumPy fallback.
+    Returns (mr_bc int32, mr_g uint32, mr_len int32, ex_bcsym int32,
+    ex_g uint32) UNPADDED (see models.runs.ReadBatch). Positions are carried
+    as (barcode, uint32 position) pairs rather than flattened bc*G+g int32
+    indices so the host format supports genomes up to 2^32 sites (~4.3 Gb;
+    a human genome is 3.1e9); the engines flatten per shard on device where
+    the local domain fits int32. C fast path with a NumPy fallback.
     """
     G = layout.G_pad
     ref = layout.seq_int.astype(np.int8)
     m = sym.shape[0]
     if m == 0:
         z = np.zeros(0, np.int32)
-        return z, z.copy(), z.copy()
+        zu = np.zeros(0, np.uint32)
+        return z, zu, z.copy(), z.copy(), zu.copy()
     lib = native_mod._load()
-    if lib is not None:
+    if lib is not None and hasattr(lib, "split_match_runs_wide"):
         if not hasattr(lib, "_split_ready"):
-            lib.split_match_runs.restype = ctypes.c_int64
-            lib.split_match_runs.argtypes = [
+            lib.split_match_runs_wide.restype = ctypes.c_int64
+            lib.split_match_runs_wide.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
-                ctypes.c_void_p, ctypes.c_int64,
             ]
             lib._split_ready = True
         cap = m + 1
-        mr_flat = np.empty(cap, np.int32)
+        mr_bc = np.empty(cap, np.int32)
+        mr_g = np.empty(cap, np.uint32)
         mr_len = np.empty(cap, np.int32)
-        ex_flat = np.empty(cap, np.int32)
+        ex_bcsym = np.empty(cap, np.int32)
+        ex_g = np.empty(cap, np.uint32)
         c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
         sym8 = np.ascontiguousarray(sym, np.int8)
         qual8 = np.ascontiguousarray(qual, np.int8)
-        packed = lib.split_match_runs(
+        packed = lib.split_match_runs_wide(
             c(sym8), c(qual8), m,
-            c(np.ascontiguousarray(rstart, np.int32)),
+            c(np.ascontiguousarray(rstart, np.int64)),
             c(np.ascontiguousarray(rspan, np.int32)),
             c(np.ascontiguousarray(rbc, np.int32)), np.int32(rstart.shape[0]),
             c(ref), G, np.int32(qt), np.int32(len_b),
-            c(mr_flat), c(mr_len), cap, c(ex_flat), cap,
+            c(mr_bc), c(mr_g), c(mr_len), cap, c(ex_bcsym), c(ex_g), cap,
         )
         assert packed >= 0
         nr, ne = packed >> 32, packed & 0xFFFFFFFF
-        return mr_flat[:nr].copy(), mr_len[:nr].copy(), ex_flat[:ne].copy()
+        return (mr_bc[:nr].copy(), mr_g[:nr].copy(), mr_len[:nr].copy(),
+                ex_bcsym[:ne].copy(), ex_g[:ne].copy())
 
     # NumPy fallback: expand positions, find match-run boundaries
     prefix = np.concatenate([[0], np.cumsum(rspan)])
@@ -308,13 +317,39 @@ def split_runs(layout, sym, qual, rstart, rspan, rbc, qt: int = 0, len_b: int = 
     cont[bnd[bnd >= 0]] = False
     starts = np.flatnonzero(is_match & ~np.concatenate([[False], cont]))
     ends = np.flatnonzero(is_match & ~np.concatenate([cont, [False]]))
-    mr_flat = (bc[starts] * G + pos[starts]).astype(np.int32)
+    mr_bc = bc[starts].astype(np.int32)
+    mr_g = pos[starts].astype(np.uint32)
     mr_len = (ends - starts + 1).astype(np.int32)
     expl = valid & ~is_match
-    ex_flat = (
-        (bc[expl] * 5 + sym[expl]) * G + pos[expl]
-    ).astype(np.int32)
-    return mr_flat, mr_len, ex_flat
+    ex_bcsym = (bc[expl] * 5 + sym[expl]).astype(np.int32)
+    ex_g = pos[expl].astype(np.uint32)
+    return mr_bc, mr_g, mr_len, ex_bcsym, ex_g
+
+
+def pad_split(split, floors=(0, 0)):
+    """Pad split_runs output into the ReadBatch array fields.
+
+    Returns a dict with mr_bc/mr_g/mr_len/ex_bcsym/ex_g/ex_w padded to
+    _pad_len (pow2 with hysteresis) and at least ``floors`` — shared by
+    pack_batch, the benches and the engine tests so every producer of a
+    ReadBatch pads identically (each distinct shape recompiles the step).
+    """
+    mr_bc, mr_g, mr_len, ex_bcsym, ex_g = split
+    rm = max(_pad_len(mr_bc.shape[0]), floors[0], 4)
+    me = max(_pad_len(ex_g.shape[0]), floors[1], 4)
+    out = dict(
+        mr_bc=np.zeros(rm, np.int32), mr_g=np.zeros(rm, np.uint32),
+        mr_len=np.zeros(rm, np.int32),  # len 0 = padding
+        ex_bcsym=np.zeros(me, np.int32), ex_g=np.zeros(me, np.uint32),
+        ex_w=np.zeros(me, np.int8),     # weight 0 = padding
+    )
+    out["mr_bc"][: mr_bc.shape[0]] = mr_bc
+    out["mr_g"][: mr_g.shape[0]] = mr_g
+    out["mr_len"][: mr_len.shape[0]] = mr_len
+    out["ex_bcsym"][: ex_bcsym.shape[0]] = ex_bcsym
+    out["ex_g"][: ex_g.shape[0]] = ex_g
+    out["ex_w"][: ex_g.shape[0]] = 1
+    return out
 
 
 def pack_batch(layout, record_sets, barcodes=None, rs=None,
@@ -326,22 +361,10 @@ def pack_batch(layout, record_sets, barcodes=None, rs=None,
     shrinking batches reuse one compiled step shape.
     """
     sym, qual, rstart, rspan, rbc = build_packed_runs(layout, record_sets, barcodes)
-    mr_flat, mr_len, ex_flat = split_runs(layout, sym, qual, rstart, rspan, rbc, qt, len_b)
-    rm = max(_pad_len(mr_flat.shape[0]), floors[0])
-    me = max(_pad_len(ex_flat.shape[0]), floors[1])
-    mr_flat_p = np.zeros(rm, np.int32)
-    mr_len_p = np.zeros(rm, np.int32)   # len 0 = padding
-    ex_flat_p = np.zeros(me, np.int32)
-    ex_w_p = np.zeros(me, np.int8)      # weight 0 = padding
-    mr_flat_p[: mr_flat.shape[0]] = mr_flat
-    mr_len_p[: mr_len.shape[0]] = mr_len
-    ex_flat_p[: ex_flat.shape[0]] = ex_flat
-    ex_w_p[: ex_flat.shape[0]] = 1
+    split = split_runs(layout, sym, qual, rstart, rspan, rbc, qt, len_b)
+    padded = pad_split(split, floors)
     from ..models.runs import ReadBatch
 
     if rs is None:
         rs = (np.zeros(512, np.int32), np.zeros(512, np.int32), np.zeros(512, np.float32))
-    return ReadBatch(
-        mr_flat=mr_flat_p, mr_len=mr_len_p, ex_flat=ex_flat_p, ex_w=ex_w_p,
-        rs_row=rs[0], rs_strand=rs[1], rs_w=rs[2],
-    )
+    return ReadBatch(rs_row=rs[0], rs_strand=rs[1], rs_w=rs[2], **padded)

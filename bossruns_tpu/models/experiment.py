@@ -176,7 +176,7 @@ class BossRuns:
             floors=getattr(self, "_batch_floors", (0, 0)),
             len_b=self.engine.model.len_b,
         )
-        self._batch_floors = (batch.mr_flat.shape[0], batch.ex_flat.shape[0])
+        self._batch_floors = (batch.mr_g.shape[0], batch.ex_g.shape[0])
         params = self.engine.make_params(self.rl_dist.approx_ccl, self.rl_dist.time_cost)
         self.state, aux = self.engine.step(self.state, batch, params)
         ah = self.engine.pull_aux(aux)  # single D2H pull of all step scalars

@@ -40,7 +40,11 @@ from .layout import BUCKET, DS, GenomeLayout
 
 
 class GenomeState(NamedTuple):
-    coverage: jax.Array      # [NB, 5, G_pad] int32 (genome-on-lanes layout)
+    coverage: jax.Array      # [NB, 5, G_pad] uint16 (genome-on-lanes layout;
+    #   the reference's dtype, reference.py:71-79 — halves the dominant HBM
+    #   array. Adds SATURATE at 65535 instead of the reference's silent
+    #   np.add.at wraparound (a deliberate safety deviation; scoring freezes
+    #   at total>=30 so values this high never influence decisions anyway)
     zeroed: jax.Array        # [NB, G_pad] bool — sticky dropout zeros
     bucket_on: jax.Array     # [NB, NBk_pad] bool — sticky activation switches
     read_starts: jax.Array   # [Wf_pad, 2] f32 — accumulated start counts
@@ -58,13 +62,21 @@ class ReadBatch(NamedTuple):
     dominant scatter (the per-base form cost ~180 ms of a ~230 ms step at
     4000-read batches), and ~10x less host->device transfer again. Quality
     masking (qual < qt) and the 4-symbol model's deletion drop are applied
-    host-side (io/coo_native.py + native/split_match_runs). Padding: match
-    runs carry mr_len 0; explicit entries carry ex_w 0.
+    host-side (io/coo_native.py + native/split_match_runs_wide). Padding:
+    match runs carry mr_len 0; explicit entries carry ex_w 0.
+
+    Positions are (barcode, uint32 position) pairs, NOT flattened bc*G+g
+    indices: uint32 carries genomes to 2^32 sites (human = 3.1e9), and each
+    engine flattens into ITS OWN scatter domain on device — global int32 for
+    the single-chip engine (assert in __init__), shard-local int32 for the
+    sharded engine. The batch stays replicated either way.
     """
 
-    mr_flat: jax.Array   # [RM] int32 flat bc*G + gstart of a match run
+    mr_bc: jax.Array     # [RM] int32 barcode row of a match run
+    mr_g: jax.Array      # [RM] uint32 genome start position of the run
     mr_len: jax.Array    # [RM] int32 run length (0 = padding)
-    ex_flat: jax.Array   # [ME] int32 flat (bc*5 + sym)*G + gpos
+    ex_bcsym: jax.Array  # [ME] int32 bc*5 + sym of an explicit observation
+    ex_g: jax.Array      # [ME] uint32 genome position
     ex_w: jax.Array      # [ME] int8 1 = valid, 0 = padding
     rs_row: jax.Array    # [Rs] int32 global fhat window row
     rs_strand: jax.Array  # [Rs] int32 0=fwd 1=rev
@@ -88,10 +100,12 @@ class StepAux(NamedTuple):
 
 class EngineConsts(NamedTuple):
     """Genome-sized device constants, passed as step arguments (NOT closure
-    captures — see RunsEngine.__init__)."""
+    captures — see RunsEngine.__init__). The one-hot reference is NOT stored:
+    it is recomputed from ``seq`` inside the step (an elementwise compare XLA
+    fuses into its consumer), saving 5*G bytes of HBM and a 5*G host
+    materialisation at human-genome scale."""
 
-    onehot_ref: jax.Array    # [5, G] int8
-    seq: jax.Array           # [G] int32
+    seq: jax.Array           # [G] int8 (0..4)
     site_valid: jax.Array    # [G] bool
     contig_id_ds: jax.Array  # [Gd] int32
     seg_start: jax.Array     # [Gd] int32
@@ -185,20 +199,15 @@ class RunsEngine:
         self.nb = lay.n_barcodes
         # flat scatter indices are int32; beyond this, shard the genome axis
         # (parallel/mesh.py) so the per-shard scatter domain stays in range.
-        # NOTE the replicated batch's ex_flat (bc*5+sym)*G + g is also int32,
-        # which caps the GLOBAL genome at ~430 Mb per barcode until the COO
-        # format moves to int64 (io/coo_native.py)
+        # The batch format itself is (bc, uint32 g) pairs, good to 2^32
+        # global sites — only the LOCAL flat domain must fit int32.
         div_b, div_g = getattr(self, "_shard_div", (1, 1))
         assert (lay.n_barcodes // div_b) * (lay.G_pad // div_g) * 5 < 2**31, (
             "genome too large for int32 scatter domain; shard it (parallel/mesh.py)"
         )
-        # device constants
-        self.c_seq = jnp.asarray(lay.seq_int, jnp.int32)
-        # one-hot reference (int8 [5, G]): reconstructs per-symbol counts from
-        # match-interval coverage (a matching base observes ref_base[g])
-        self.c_onehot_ref = jnp.asarray(
-            (lay.seq_int[None, :] == np.arange(5)[:, None]).astype(np.int8)
-        )
+        # device constants (seq int8: at 3.1e9 sites every byte per site is
+        # ~3 GB of HBM across the mesh)
+        self.c_seq = jnp.asarray(lay.seq_int.astype(np.int8))
         self.c_site_valid = jnp.asarray(lay.site_valid())
         self.c_contig_id_ds = jnp.asarray(np.where(lay.contig_id_ds < 0, lay.n_contigs, lay.contig_id_ds), jnp.int32)
         self.c_seg_start = jnp.asarray(lay.ds_seg_start, jnp.int32)
@@ -240,7 +249,7 @@ class RunsEngine:
         # the HLO, which bloats the executable with O(G) bytes (and overflows
         # the remote-compile request beyond ~30 Mb genomes on this toolchain)
         self._consts = EngineConsts(
-            onehot_ref=self.c_onehot_ref, seq=self.c_seq,
+            seq=self.c_seq,
             site_valid=self.c_site_valid, contig_id_ds=self.c_contig_id_ds,
             seg_start=self.c_seg_start, seg_end=self.c_seg_end,
             strat_valid=self.c_strat_valid, fhat_idx=self.c_fhat_idx,
@@ -262,7 +271,7 @@ class RunsEngine:
             self.c_strat_valid[None, :, None], (self.nb, lay.Gd_pad, 2)
         )
         return GenomeState(
-            coverage=jnp.zeros((self.nb, 5, lay.G_pad), jnp.int32),
+            coverage=jnp.zeros((self.nb, 5, lay.G_pad), jnp.uint16),
             zeroed=jnp.zeros((self.nb, lay.G_pad), bool),
             bucket_on=jnp.zeros((self.nb, lay.NBk_pad), bool),
             read_starts=jnp.zeros((lay.Wf_pad, 2), self.dtype),
@@ -286,27 +295,40 @@ class RunsEngine:
         # matching base is by definition an observation of ref_base[g].
         nbG = nb * G
         sign = (batch.mr_len > 0).astype(jnp.int32)
+        # flatten (bc, g) pairs into this engine's global int32 domain
+        # (guarded by the __init__ assert; the sharded engine flattens
+        # shard-locally instead)
+        mr_flat = batch.mr_bc * G + batch.mr_g.astype(jnp.int32)
+        ex_flat = batch.ex_bcsym * G + batch.ex_g.astype(jnp.int32)
         bounds = (
             jnp.zeros(nbG + 1, jnp.int32)
-            .at[batch.mr_flat].add(sign, mode="drop")
-            .at[batch.mr_flat + batch.mr_len].add(-sign, mode="drop")
+            .at[mr_flat].add(sign, mode="drop")
+            .at[mr_flat + batch.mr_len].add(-sign, mode="drop")
         )
         match_inc = jnp.cumsum(bounds[:nbG]).reshape(nb, G)
         # single flat-index scatter: the multi-index-array form lowers to a
         # ~1000x slower XLA scatter path on TPU (see bench notes)
         exp_inc = (
             jnp.zeros(nb * 5 * G, jnp.int32)
-            .at[batch.ex_flat]
+            .at[ex_flat]
             .add(batch.ex_w.astype(jnp.int32), mode="drop")
             .reshape(nb, 5, G)
         )
-        inc = exp_inc + C.onehot_ref[None] * match_inc[:, None, :]
-        coverage = state.coverage + inc
+        # one-hot reference recomputed from seq (elementwise compare, fused):
+        # a matching base is by definition an observation of ref_base[g]
+        onehot_ref = (
+            C.seq[None, :] == jnp.arange(5, dtype=C.seq.dtype)[:, None]
+        ).astype(jnp.int32)
+        inc = exp_inc + onehot_ref[None] * match_inc[:, None, :]
+        # saturating uint16 add (see GenomeState.coverage)
+        coverage = jnp.minimum(
+            state.coverage.astype(jnp.int32) + inc, 65535
+        ).astype(jnp.uint16)
         # change flag per site: any barcode/symbol touched (reference.py:142
         # flags whole rows of the change mask)
         changed_site = jnp.any(inc != 0, axis=(0, 1))  # [G]
 
-        covsum = jnp.sum(coverage, axis=1)  # [NB, G] int32
+        covsum = jnp.sum(coverage, axis=1, dtype=jnp.int32)  # [NB, G]
         covsum_f = covsum.astype(dtype)
         bdt = self.benefit_dtype
 

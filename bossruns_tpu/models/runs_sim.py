@@ -338,7 +338,7 @@ class BossRunsSim:
             floors=getattr(self, "_batch_floors", (0, 0)),
             len_b=self.engine.model.len_b,
         )
-        self._batch_floors = (batch.mr_flat.shape[0], batch.ex_flat.shape[0])
+        self._batch_floors = (batch.mr_g.shape[0], batch.ex_g.shape[0])
         t["coo"] = _time.perf_counter()
         params = self.engine.make_params(self.rl_dist.approx_ccl, self.rl_dist.time_cost)
         self.state, aux = self.engine.step(self.state, batch, params)

@@ -235,11 +235,14 @@ def full_update(engine, state_np: dict, batch_np: dict, approx_ccl, time_cost,
     G, Gd = lay.G_pad, lay.Gd_pad
     tiny = np.finfo(np.float64).tiny
 
-    cov = state_np["coverage"].copy()  # [NB, 5, G] genome-on-lanes layout
+    cov0 = state_np["coverage"]  # [NB, 5, G] genome-on-lanes layout, uint16
     # expand match runs + explicit observations like the device step does
     # (quality masking already happened host-side when the batch was built)
-    inc = np.zeros_like(cov).reshape(-1)
-    mr_flat = np.asarray(batch_np["mr_flat"], np.int64)
+    inc = np.zeros(cov0.size, np.int64)
+    mr_flat = (
+        np.asarray(batch_np["mr_bc"], np.int64) * G
+        + np.asarray(batch_np["mr_g"], np.int64)
+    )
     mr_len = np.asarray(batch_np["mr_len"], np.int64)
     seq_i = lay.seq_int.astype(np.int64)
     sel = mr_len > 0
@@ -250,11 +253,15 @@ def full_update(engine, state_np: dict, batch_np: dict, approx_ccl, time_cost,
         idx = np.repeat(flat0, ln) + off
         b, g = np.divmod(idx, G)
         np.add.at(inc, (b * 5 + seq_i[g]) * G + g, 1)
-    ex_flat = np.asarray(batch_np["ex_flat"], np.int64)
+    ex_flat = (
+        np.asarray(batch_np["ex_bcsym"], np.int64) * G
+        + np.asarray(batch_np["ex_g"], np.int64)
+    )
     ex_w = np.asarray(batch_np["ex_w"], np.int64)
     np.add.at(inc, ex_flat, ex_w)
-    inc = inc.reshape(cov.shape)
-    cov += inc
+    inc = inc.reshape(cov0.shape)
+    # saturating uint16 add, matching the device step (runs.py step 1)
+    cov = np.minimum(cov0.astype(np.int64) + inc, 65535).astype(np.uint16)
     changed_site = (inc != 0).any(axis=(0, 1))
 
     covsum = cov.sum(axis=1).astype(np.float64)  # [NB, G]

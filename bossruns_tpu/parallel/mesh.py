@@ -30,9 +30,10 @@ products) — both are exact under ANY reduction order, so the sharded step
 produces bit-identical strategies to the single-chip engine and the
 sequential f64 oracle.
 
-Known single-shard scatter-domain limit: the COO flat indices are int32, so
-nb_local * 5 * G must stay < 2^31 (~430 Mb haploid); beyond that the batch
-format needs int64 indices (io/coo_native.py) — the state itself scales.
+Scatter domains are per-shard: the replicated batch carries (barcode,
+uint32 position) pairs (good to 2^32 global sites — a 3.1 Gb human genome
+fits), and each shard flattens only its LOCAL block, so the int32 scatter
+limit applies per shard (nb_local * 5 * G_local < 2^31), not globally.
 
 Layouts must be built with ``align_chunks = mesh g-size`` so every shard
 gets whole chunks (layout.py guarantees equal blocks).
@@ -60,6 +61,40 @@ from ..ops.scores import site_scores_t
 # benefit CCL piece weights 0.95..0.05 (reference.py:241-269); keep the
 # accumulation order identical to ops/genome_ops.expected_benefit
 _WEIGHTS = [float(w) for w in np.arange(0.05, 1.0, 0.1)[::-1]]
+
+
+def local_run_indices(mr_bc, mr_g, mr_len, b0, g0u, nb_l, Gl):
+    """Shard-local flat scatter indices for match-run boundary markers.
+
+    All position arithmetic is uint32 (global positions exceed int32 beyond
+    ~2.1 Gb); wraparound doubles as the out-of-shard test — a position left
+    of the shard wraps to a huge value and fails the ``< Gl`` check. Returns
+    (idx_start, idx_end) int32 in [0, nb_l*Gl], where nb_l*Gl marks
+    out-of-shard rows (dropped by the scatter).
+    """
+    OOB = nb_l * Gl
+    bc_l = mr_bc - b0
+    on_row = (bc_l >= 0) & (bc_l < nb_l) & (mr_len > 0)
+    st_u = mr_g - g0u                                   # uint32, wraps
+    idx_s = jnp.where(
+        on_row & (st_u < Gl), bc_l * Gl + st_u.astype(jnp.int32), OOB
+    )
+    en_u = mr_g + mr_len.astype(jnp.uint32) - g0u
+    idx_e = jnp.where(
+        on_row & (en_u < Gl), bc_l * Gl + en_u.astype(jnp.int32), OOB
+    )
+    return idx_s, idx_e
+
+
+def local_ex_indices(ex_bcsym, ex_g, b0, g0u, nb_l, Gl):
+    """Shard-local flat scatter indices for explicit observations
+    ((bc_l*5+sym)*Gl + g_l), with nb_l*5*Gl marking out-of-shard rows."""
+    OOB = nb_l * 5 * Gl
+    bc_e = ex_bcsym // 5 - b0
+    sym_e = ex_bcsym % 5
+    g_ue = ex_g - g0u                                   # uint32, wraps
+    ok = (bc_e >= 0) & (bc_e < nb_l) & (g_ue < Gl)
+    return jnp.where(ok, (bc_e * 5 + sym_e) * Gl + g_ue.astype(jnp.int32), OOB)
 
 
 def make_mesh(devices=None, barcode_shards: int = 1, name_g: str = "g", name_b: str = "b") -> Mesh:
@@ -112,7 +147,6 @@ class ShardedRunsEngine(RunsEngine):
         params_specs = StepParams(P(), P(), P())
         # genome-axis constants move to their shards once at init
         const_specs = (
-            P(None, g),  # onehot_ref [5, G]
             P(g),        # seq [G]
             P(g),        # site_valid [G]
             P(g),        # contig_id_ds [Gd]
@@ -132,7 +166,7 @@ class ShardedRunsEngine(RunsEngine):
             jax.device_put(c, ns(*spec))
             for c, spec in zip(
                 (
-                    self.c_onehot_ref, self.c_seq, self.c_site_valid,
+                    self.c_seq, self.c_site_valid,
                     self.c_contig_id_ds, self.c_seg_start, self.c_seg_end,
                     self.c_strat_valid, self.c_fhat_idx, self.c_bucket_idx,
                     self.c_win_id_ds, self.c_bucket_src, self.c_bucket_valid,
@@ -162,7 +196,7 @@ class ShardedRunsEngine(RunsEngine):
     def _step_local(self, state: GenomeState, batch: ReadBatch, params: StepParams, consts):
         """Per-shard step body. Mirrors RunsEngine._step stage by stage; each
         comment cites the single-chip line it reproduces."""
-        (onehot_l, seq_l, valid_l, cid_l, seg_s_l, seg_e_l, strat_v_l,
+        (seq_l, valid_l, cid_l, seg_s_l, seg_e_l, strat_v_l,
          fidx_l, bidx_l, win_l, bucket_src, bucket_valid, fhat_valid,
          fhat_rows, contig_denom) = consts
         cfg = self.config
@@ -176,8 +210,11 @@ class ShardedRunsEngine(RunsEngine):
         nb_l, _, Gl = state.coverage.shape
         Gdl = Gl // DS
         halo = self.halo
-        G = self.layout.G_pad                       # global (static)
-        g0 = s * Gl                                 # global site offset
+        # global site offset in uint32: s * Gl exceeds int32 beyond ~2.1 Gb
+        # (human genome 3.1e9 sites); all position arithmetic below is uint32
+        # where wraparound doubles as the out-of-shard test (a position left
+        # of the shard wraps to a huge value and fails the `< Gl` check)
+        g0u = s.astype(jnp.uint32) * jnp.uint32(Gl)
         row0 = s * Gdl                              # global ds-row offset
         b0 = b_sh * nb_l                            # global barcode offset
 
@@ -185,15 +222,10 @@ class ShardedRunsEngine(RunsEngine):
         # match-run +1/-1 boundaries: keep the markers that land in this
         # shard; the cross-shard carry is the net number of runs still open
         # at the shard boundary, all_gathered as one integer per barcode row
-        bc_g = batch.mr_flat // G
-        gpos = batch.mr_flat - bc_g * G
-        bc_l = bc_g - b0
-        on_row = (bc_l >= 0) & (bc_l < nb_l) & (batch.mr_len > 0)
         OOB = nb_l * Gl
-        st_l = gpos - g0
-        idx_s = jnp.where(on_row & (st_l >= 0) & (st_l < Gl), bc_l * Gl + st_l, OOB)
-        en_l = st_l + batch.mr_len
-        idx_e = jnp.where(on_row & (en_l >= 0) & (en_l < Gl), bc_l * Gl + en_l, OOB)
+        idx_s, idx_e = local_run_indices(
+            batch.mr_bc, batch.mr_g, batch.mr_len, b0, g0u, nb_l, Gl
+        )
         bounds = (
             jnp.zeros(OOB + 1, jnp.int32)
             .at[idx_s].add(1, mode="drop")
@@ -205,24 +237,24 @@ class ShardedRunsEngine(RunsEngine):
         carry = jnp.sum(jnp.where(before, nets, 0), axis=0)  # [nb_l]
         match_inc = jnp.cumsum(bounds, axis=1) + carry[:, None]
 
-        bcs = batch.ex_flat // G                            # bc*5 + sym
-        gpos_e = batch.ex_flat - bcs * G
-        bc_e = bcs // 5 - b0
-        sym_e = bcs % 5
-        g_le = gpos_e - g0
-        ok = (bc_e >= 0) & (bc_e < nb_l) & (g_le >= 0) & (g_le < Gl)
         OOB2 = nb_l * 5 * Gl
-        idx = jnp.where(ok, (bc_e * 5 + sym_e) * Gl + g_le, OOB2)
+        idx = local_ex_indices(batch.ex_bcsym, batch.ex_g, b0, g0u, nb_l, Gl)
         exp_inc = (
             jnp.zeros(OOB2 + 1, jnp.int32)
             .at[idx].add(batch.ex_w.astype(jnp.int32), mode="drop")
         )[:OOB2].reshape(nb_l, 5, Gl)
+        onehot_l = (
+            seq_l[None, :] == jnp.arange(5, dtype=seq_l.dtype)[:, None]
+        ).astype(jnp.int32)
         inc = exp_inc + onehot_l[None] * match_inc[:, None, :]
-        coverage = state.coverage + inc
+        # saturating uint16 add (see models/runs.py GenomeState.coverage)
+        coverage = jnp.minimum(
+            state.coverage.astype(jnp.int32) + inc, 65535
+        ).astype(jnp.uint16)
         changed_l = jnp.any(inc != 0, axis=(0, 1))          # [Gl]
         changed_site = lax.psum(changed_l.astype(jnp.int32), axb) > 0
 
-        covsum = jnp.sum(coverage, axis=1)
+        covsum = jnp.sum(coverage, axis=1, dtype=jnp.int32)
         covsum_f = covsum.astype(dtype)
 
         # -- 2. scores (runs.py step 2) ---------------------------------------
@@ -391,7 +423,7 @@ class ShardedRunsEngine(RunsEngine):
             ).copy()
 
         return GenomeState(
-            coverage=zeros((nb, 5, Gp), np.int32, sh.coverage),
+            coverage=zeros((nb, 5, Gp), np.uint16, sh.coverage),
             zeroed=zeros((nb, Gp), bool, sh.zeroed),
             bucket_on=zeros((nb, NBkp), bool, sh.bucket_on),
             read_starts=zeros((Wfp, 2), np.dtype(self.dtype), sh.read_starts),
@@ -426,17 +458,19 @@ def demo_sharded_step(n_devices: int | None = None, barcode_shards: int = 1, see
     pos = np.concatenate([np.arange(s0, s0 + run_len) for s0 in rstart])
     from ..io.coo_native import split_runs
 
-    mr_flat, mr_len, ex_flat = split_runs(
+    mr_bc, mr_g, mr_len, ex_bcsym, ex_g = split_runs(
         layout, layout.seq_int[pos].astype(np.int8),
-        np.full(pos.shape[0], 40, np.int8), rstart,
+        np.full(pos.shape[0], 40, np.int8), rstart.astype(np.int64),
         np.full(n_runs, run_len, np.int32),
         rng.integers(0, nb, n_runs).astype(np.int32),
     )
+    me = max(ex_g.shape[0], 16)
     batch = eng.put_batch(
         ReadBatch(
-            mr_flat=mr_flat, mr_len=mr_len,
-            ex_flat=np.zeros(max(ex_flat.shape[0], 16), np.int32),
-            ex_w=np.zeros(max(ex_flat.shape[0], 16), np.int8),
+            mr_bc=mr_bc, mr_g=mr_g, mr_len=mr_len,
+            ex_bcsym=np.zeros(me, np.int32),
+            ex_g=np.zeros(me, np.uint32),
+            ex_w=np.zeros(me, np.int8),
             rs_row=rng.integers(0, layout.n_fhat, 512).astype(np.int32),
             rs_strand=rng.integers(0, 2, 512).astype(np.int32),
             rs_w=np.ones(512, np.float32),

@@ -310,23 +310,27 @@ extern "C" {
 // mismatches go to the explicit list. Bases with qual < qt are dropped, as
 // are symbol-4 bases when len_b == 4 (the 4-symbol observation model ignores
 // deletions, sequences.py:417-418).
-// Outputs: mr_flat/mr_len (match runs, flat = bc*G + gstart) and ex_flat
-// (explicit, flat = (bc*5+sym)*G + gpos). Returns (n_runs << 32) | n_explicit,
-// or -1 if a cap would be exceeded.
-int64_t split_match_runs(const int8_t* sym, const int8_t* qual, int64_t m,
-                         const int32_t* rstart, const int32_t* rspan,
-                         const int32_t* rbc, int32_t n_reads,
-                         const int8_t* ref, int64_t G,
-                         int32_t qt, int32_t len_b,
-                         int32_t* mr_flat, int32_t* mr_len, int64_t mr_cap,
-                         int32_t* ex_flat, int64_t ex_cap) {
+// Outputs are (barcode, position) PAIRS — not flattened bc*G+g indices —
+// so the format carries genomes beyond the int32 flat-index domain
+// (> ~430 Mb; a human genome's 3.1e9 positions need uint32). mr: match runs
+// (bc int32, gstart uint32, len int32); ex: explicit observations
+// (bc*5+sym int32, gpos uint32). Read starts are 64-bit (concatenated-genome
+// offsets exceed int32). Returns (n_runs << 32) | n_explicit, or -1 if a cap
+// would be exceeded.
+int64_t split_match_runs_wide(const int8_t* sym, const int8_t* qual, int64_t m,
+                              const int64_t* rstart, const int32_t* rspan,
+                              const int32_t* rbc, int32_t n_reads,
+                              const int8_t* ref, int64_t G,
+                              int32_t qt, int32_t len_b,
+                              int32_t* mr_bc, uint32_t* mr_g, int32_t* mr_len,
+                              int64_t mr_cap,
+                              int32_t* ex_bcsym, uint32_t* ex_g, int64_t ex_cap) {
     int64_t nr = 0, ne = 0;
     int64_t base = 0;
     (void)m;
     for (int32_t r = 0; r < n_reads; ++r) {
         int64_t g0 = rstart[r];
         int64_t span = rspan[r];
-        int64_t bcg = (int64_t)rbc[r] * G;
         int64_t run_start = -1;
         for (int64_t i = 0; i < span; ++i) {
             int64_t g = g0 + i;
@@ -339,21 +343,24 @@ int64_t split_match_runs(const int8_t* sym, const int8_t* qual, int64_t m,
             } else {
                 if (run_start >= 0) {
                     if (nr >= mr_cap) return -1;
-                    mr_flat[nr] = (int32_t)(bcg + run_start);
+                    mr_bc[nr] = rbc[r];
+                    mr_g[nr] = (uint32_t)run_start;
                     mr_len[nr] = (int32_t)(g - run_start);
                     ++nr;
                     run_start = -1;
                 }
                 if (valid) {
                     if (ne >= ex_cap) return -1;
-                    ex_flat[ne] = (int32_t)(((int64_t)rbc[r] * 5 + s) * G + g);
+                    ex_bcsym[ne] = rbc[r] * 5 + s;
+                    ex_g[ne] = (uint32_t)g;
                     ++ne;
                 }
             }
         }
         if (run_start >= 0) {
             if (nr >= mr_cap) return -1;
-            mr_flat[nr] = (int32_t)(bcg + run_start);
+            mr_bc[nr] = rbc[r];
+            mr_g[nr] = (uint32_t)run_start;
             mr_len[nr] = (int32_t)(g0 + span - run_start);
             ++nr;
         }

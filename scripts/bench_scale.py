@@ -39,28 +39,24 @@ def one_size(total_mb: float) -> dict:
     state = eng.init_state()
 
     rl = 3000
-    rstart = rng.integers(0, layout.G_pad - rl, N_READS).astype(np.int32)
+    rstart = rng.integers(0, layout.G_pad - rl, N_READS).astype(np.int64)
     pos = (rstart[:, None] + np.arange(rl)[None, :]).ravel()
     sym = layout.seq_int[pos].astype(np.int8)
     flip = rng.random(sym.shape[0]) < 0.05
     sym[flip] = rng.integers(0, 5, int(flip.sum()))
-    mr_flat, mr_len, ex_flat = split_runs(
+    from bossruns_tpu.io.coo_native import pad_split
+
+    padded = pad_split(split_runs(
         layout, sym, np.full(sym.shape[0], 40, np.int8), rstart,
         np.full(N_READS, rl, np.int32), np.zeros(N_READS, np.int32),
-    )
-    def pow2pad(a, fill=0):
-        n = 1 << int(np.ceil(np.log2(max(a.shape[0], 4))))
-        out = np.full(n, fill, a.dtype); out[: a.shape[0]] = a
-        return out
+    ))
     batch = ReadBatch(
-        mr_flat=jax.device_put(pow2pad(mr_flat)),
-        mr_len=jax.device_put(pow2pad(mr_len)),
-        ex_flat=jax.device_put(pow2pad(ex_flat)),
-        ex_w=jax.device_put(pow2pad(np.ones(ex_flat.shape[0], np.int8))),
-        rs_row=jax.device_put(rng.integers(0, layout.n_fhat, N_READS).astype(np.int32)),
-        rs_strand=jax.device_put(rng.integers(0, 2, N_READS).astype(np.int32)),
-        rs_w=jax.device_put(np.ones(N_READS, np.float32)),
+        rs_row=rng.integers(0, layout.n_fhat, N_READS).astype(np.int32),
+        rs_strand=rng.integers(0, 2, N_READS).astype(np.int32),
+        rs_w=np.ones(N_READS, np.float32),
+        **padded,
     )
+    batch = jax.device_put(batch)
     params = eng.make_params(CCL, 5300.0)
     state, aux = eng.step(state, batch, params)  # compile
     eng.pull_aux(aux)

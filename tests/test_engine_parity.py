@@ -33,15 +33,11 @@ def _random_batch(rng, lay, n_obs, nb=1, n_rs=300, run_len=40, len_b=5):
     flip = rng.random(pos.shape[0]) < 0.05
     sym[flip] = rng.integers(0, 5, int(flip.sum()))
     qual = np.full(pos.shape[0], 40, np.int8)
-    mr_flat, mr_len, ex_flat = split_runs(lay, sym, qual, rstart, rspan, rbc, 0, len_b)
-    rm = 1 << int(np.ceil(np.log2(max(mr_flat.shape[0], 4))))
-    me = 1 << int(np.ceil(np.log2(max(ex_flat.shape[0], 4))))
-    mr_flat_p = np.zeros(rm, np.int32); mr_flat_p[: mr_flat.shape[0]] = mr_flat
-    mr_len_p = np.zeros(rm, np.int32); mr_len_p[: mr_len.shape[0]] = mr_len
-    ex_flat_p = np.zeros(me, np.int32); ex_flat_p[: ex_flat.shape[0]] = ex_flat
-    ex_w_p = np.zeros(me, np.int8); ex_w_p[: ex_flat.shape[0]] = 1
+    from bossruns_tpu.io.coo_native import pad_split
+
+    split = split_runs(lay, sym, qual, rstart.astype(np.int64), rspan, rbc, 0, len_b)
     return dict(
-        mr_flat=mr_flat_p, mr_len=mr_len_p, ex_flat=ex_flat_p, ex_w=ex_w_p,
+        pad_split(split),
         rs_row=rng.integers(0, lay.n_fhat, n_rs).astype(np.int32),
         rs_strand=rng.integers(0, 2, n_rs).astype(np.int32),
         rs_w=np.ones(n_rs, np.float32),

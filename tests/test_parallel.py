@@ -37,15 +37,14 @@ def test_sharded_matches_single_chip(rng):
     sym = lay_1.seq_int[pos].astype(np.int8)
     flip = rng.random(pos.shape[0]) < 0.08
     sym[flip] = rng.integers(0, 5, int(flip.sum()))
-    mr_flat, mr_len, ex_flat = split_runs(
-        lay_1, sym, np.full(pos.shape[0], 40, np.int8), rstart,
+    from bossruns_tpu.io.coo_native import pad_split
+
+    split = split_runs(
+        lay_1, sym, np.full(pos.shape[0], 40, np.int8), rstart.astype(np.int64),
         np.full(n_runs, run_len, np.int32), np.zeros(n_runs, np.int32),
     )
-    me = 1 << int(np.ceil(np.log2(max(ex_flat.shape[0], 4))))
-    ex_flat_p = np.zeros(me, np.int32); ex_flat_p[: ex_flat.shape[0]] = ex_flat
-    ex_w_p = np.zeros(me, np.int8); ex_w_p[: ex_flat.shape[0]] = 1
     kw = dict(
-        mr_flat=mr_flat, mr_len=mr_len, ex_flat=ex_flat_p, ex_w=ex_w_p,
+        pad_split(split),
         rs_row=rng.integers(0, lay_1.n_fhat, 512).astype(np.int32),
         rs_strand=rng.integers(0, 2, 512).astype(np.int32),
         rs_w=np.ones(512, np.float32),

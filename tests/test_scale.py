@@ -36,10 +36,14 @@ CCL = np.array([30000, 20000, 14000, 10000, 7000, 5000, 3500, 2200, 1200, 400])
 
 
 def test_120mb_diploid_sharded_two_batches():
-    # BOSS_SCALE_MB=250 runs it at human-chr1 scale (BASELINE config 3) —
-    # pair with BOSS_SCALE_DEV=16 virtual devices: the single-process XLA CPU
-    # backend aborts on ~5 GB per-shard-program buffers, which real TPU
-    # shards never see. Default 120 Mb / 8 shards stays under ~12 min.
+    # BOSS_SCALE_MB=250 runs it at human-chr1 scale (BASELINE config 3);
+    # BOSS_SCALE_MB=1000 BOSS_SCALE_DEV=16 is the gigabase proof of the
+    # wide (barcode, uint32 position) batch format + uint16 coverage — the
+    # full 3.1 Gb human genome needs a real 16-chip slice (see
+    # docs/DESIGN.md memory plan) because the virtual CPU shards share one
+    # host's RAM and the single-process XLA CPU backend aborts on ~5 GB
+    # per-shard-program buffers, which real TPU shards never see.
+    # Default 120 Mb / 8 shards stays under ~12 min.
     total = int(float(os.environ.get("BOSS_SCALE_MB", "120")) * 1e6)
     ndev = int(os.environ.get("BOSS_SCALE_DEV", "8"))
     rng = np.random.default_rng(9)
@@ -55,23 +59,23 @@ def test_120mb_diploid_sharded_two_batches():
 
     # 4000 reads x 400 bp scattered over both contigs, 2% mismatches
     n_reads, rl = 4000, 400
-    rstart = rng.integers(0, layout.G_pad - rl, n_reads).astype(np.int32)
+    rstart = rng.integers(0, layout.G_pad - rl, n_reads).astype(np.int64)
     pos = (rstart[:, None] + np.arange(rl)[None, :]).ravel()
     sym = layout.seq_int[pos].astype(np.int8)
     flip = rng.random(sym.shape[0]) < 0.02
     sym[flip] = rng.integers(0, 5, int(flip.sum()))
-    mr_flat, mr_len, ex_flat = split_runs(
+    from bossruns_tpu.io.coo_native import pad_split
+
+    split = split_runs(
         layout, sym, np.full(sym.shape[0], 40, np.int8), rstart,
         np.full(n_reads, rl, np.int32), np.zeros(n_reads, np.int32),
     )
-    me = 1 << int(np.ceil(np.log2(max(ex_flat.shape[0], 4))))
-    ex_flat_p = np.zeros(me, np.int32); ex_flat_p[: ex_flat.shape[0]] = ex_flat
-    ex_w_p = np.zeros(me, np.int8); ex_w_p[: ex_flat.shape[0]] = 1
+    padded = pad_split(split)
     batch = eng.put_batch(ReadBatch(
-        mr_flat=mr_flat, mr_len=mr_len, ex_flat=ex_flat_p, ex_w=ex_w_p,
         rs_row=rng.integers(0, layout.n_fhat, n_reads).astype(np.int32),
         rs_strand=rng.integers(0, 2, n_reads).astype(np.int32),
         rs_w=np.ones(n_reads, np.float32),
+        **padded,
     ))
     params = eng.make_params(CCL, 5300.0)
 
@@ -83,7 +87,7 @@ def test_120mb_diploid_sharded_two_batches():
     cov = state.coverage
     assert cov.shape == (1, 5, layout.G_pad)
     total = int(np.asarray(jax.jit(lambda c: c.sum(dtype=np.int64))(cov)))
-    assert total == 2 * (int(mr_len.sum()) + int(ex_w_p.sum()))
+    assert total == 2 * (int(padded["mr_len"].sum()) + int(padded["ex_w"].sum()))
     assert np.isfinite(ah.threshold)
     # strategy grid exists at full downsampled size and is boolean
     assert state.strat.shape == (1, layout.Gd_pad, 2)
