@@ -1,9 +1,8 @@
-"""Build the device ReadBatch (COO triplets) from chosen alignments.
+"""Host->device batch helpers: shape padding + read-start (fhat) rows.
 
-This is the host->device boundary: per batch, every read's best alignment is
-expanded (io/paf.py) into per-target-site (symbol, qual) runs, concatenated,
-globalised onto the padded genome axis and padded to a power-of-two length so
-jit sees a small number of distinct shapes.
+The coverage half of the ReadBatch is built by io/coo_native.py
+(build_packed_runs + split_runs); _pad_len here is the shared power-of-two
+padding policy so jit sees a small number of distinct shapes.
 
 Read-start rows reproduce the reference's np.histogram semantics
 (readstartdist.py:43-82): forward reads bin tstart, reverse reads bin tend,
@@ -15,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..models.layout import FHAT_WINDOW, GenomeLayout
-from .paf import PafRecords, alignment_coverage
+from .paf import PafRecords
 
 MIN_PAD = 1 << 12
 
@@ -25,57 +24,6 @@ def _pad_len(n: int) -> int:
     while p < n:
         p *= 2
     return p
-
-
-def build_coverage_coo(
-    layout: GenomeLayout,
-    rec: PafRecords,
-    rows: list[int],
-    seqs: dict[str, str],
-    quals: dict[str, str],
-    barcodes: dict[str, int] | None = None,
-    qt: int = 0,
-):
-    """COO arrays (pos, sym, bc, w) for the given record rows.
-
-    Reads mapping to contigs outside the layout are skipped (rejected or
-    filtered contigs accumulate no state).
-    """
-    tid_of = {n: i for i, n in enumerate(layout.names)}
-    pos_parts, sym_parts, bc_parts, w_parts = [], [], [], []
-    for i in rows:
-        tid = tid_of.get(rec.tname[i])
-        if tid is None:
-            continue
-        rid = rec.qname[i]
-        ts, te, sym, q = alignment_coverage(rec, i, seqs[rid], quals.get(rid, ""))
-        pos_parts.append(layout.offsets[tid] + np.arange(ts, te, dtype=np.int64))
-        sym_parts.append(sym)
-        bc = 0 if barcodes is None else barcodes.get(rid, 0)
-        bc_parts.append(np.full(te - ts, bc, dtype=np.int32))
-        w_parts.append((q >= qt).astype(np.float32))
-    if pos_parts:
-        pos = np.concatenate(pos_parts).astype(np.int32)
-        sym = np.concatenate(sym_parts).astype(np.int32)
-        bc = np.concatenate(bc_parts)
-        w = np.concatenate(w_parts)
-    else:
-        pos = np.zeros(0, np.int32)
-        sym = np.zeros(0, np.int32)
-        bc = np.zeros(0, np.int32)
-        w = np.zeros(0, np.float32)
-    m = _pad_len(pos.shape[0])
-    out = (
-        np.zeros(m, np.int32),
-        np.zeros(m, np.int32),
-        np.zeros(m, np.int32),
-        np.zeros(m, np.float32),
-    )
-    out[0][: pos.shape[0]] = pos
-    out[1][: sym.shape[0]] = sym
-    out[2][: bc.shape[0]] = bc
-    out[3][: w.shape[0]] = w
-    return out
 
 
 def build_read_start_rows(layout: GenomeLayout, rec: PafRecords, rows: list[int],

@@ -1,10 +1,11 @@
-"""Native-accelerated CIGAR -> coverage COO expansion (host hot path).
+"""Native-accelerated CIGAR -> packed ReadBatch expansion (host hot path).
 
-The per-read NumPy pipeline in io/coo.py costs ~5 s per 4000-read batch —
-~20x the device update step. This path preps strand-corrected code/qual
-slices and packed cigars in vectorised NumPy, then one C call
-(native/banded_align.cpp::expand_cigars_batch) emits all (pos, sym, weight)
-runs. Falls back to the NumPy path when the shared library is unavailable.
+The per-read NumPy pipeline costs ~5 s per 4000-read batch — ~20x the device
+update step. This path preps strand-corrected code/qual slices and packed
+cigars in vectorised NumPy, then C calls (native/banded_align.cpp::
+expand_cigars_packed + split_match_runs_wide) emit the match-run + explicit
+COO pieces the device consumes. NumPy fallbacks keep everything functional
+without the shared library.
 """
 from __future__ import annotations
 
@@ -16,7 +17,6 @@ import numpy as np
 from ..aligner import native as native_mod
 from ..models.layout import GenomeLayout
 from .coo import _pad_len
-from .paf import PafRecords
 
 _CIG_RE = re.compile(r"(\d+)([MIDNSHP=XB])")
 _OP_CODE = {"M": 0, "=": 0, "X": 0, "I": 1, "S": 1, "D": 2, "N": 2}
@@ -33,99 +33,6 @@ def _pack_cigar(cig: str) -> np.ndarray:
     return np.array(
         [(int(l) << 4) | _OP_CODE[o] for l, o in parts], dtype=np.uint32
     )
-
-
-def build_coverage_coo_native(
-    layout: GenomeLayout,
-    rec: PafRecords,
-    rows,
-    seqs: dict[str, str],
-    quals: dict[str, str],
-    barcodes: dict[str, int] | None = None,
-    qt: int = 0,
-    pad: bool = True,
-):
-    """pad=False returns exact-length arrays so callers combining several
-    record sets can concatenate first and pad once (fewer jit shape buckets —
-    each distinct COO length costs a full step recompile)."""
-    lib = native_mod._load()
-    if not lib:
-        from .coo import build_coverage_coo
-
-        return build_coverage_coo(layout, rec, rows, seqs, quals, barcodes, qt)
-    if not hasattr(lib, "_expand_ready"):
-        lib.expand_cigars_batch.restype = ctypes.c_int64
-        lib.expand_cigars_batch.argtypes = [
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int64,
-        ]
-        lib._expand_ready = True
-
-    tid_of = {n: i for i, n in enumerate(layout.names)}
-    seq_parts, qual_parts, cig_parts = [], [], []
-    tstarts, spans, bcs = [], [], []
-    for i in rows:
-        tid = tid_of.get(rec.tname[i])
-        if tid is None:
-            continue
-        rid = rec.qname[i]
-        cig = rec.cigars[i]
-        if cig is None:
-            raise ValueError(f"record for {rid} has no cigar")
-        qs, qe, ql = int(rec.qstart[i]), int(rec.qend[i]), int(rec.qlen[i])
-        codes = _ENC[np.frombuffer(seqs[rid].encode(), np.uint8)]
-        qv = quals.get(rid, "")
-        qarr = (
-            np.frombuffer(qv.encode(), np.uint8).astype(np.int16) - 33
-            if qv else np.full(codes.shape[0], 40, np.int16)
-        )
-        if rec.rev[i]:
-            codes = _RC_CODE[np.minimum(codes, 4)][::-1]
-            qarr = qarr[::-1]
-            qs, qe = ql - qe, ql - qs
-        seq_parts.append(codes[qs:qe])
-        qual_parts.append(np.clip(qarr[qs:qe], -128, 127).astype(np.int8))
-        cig_parts.append(_pack_cigar(cig))
-        tstarts.append(int(layout.offsets[tid]) + int(rec.tstart[i]))
-        spans.append(int(rec.tend[i] - rec.tstart[i]))
-        bcs.append(0 if barcodes is None else barcodes.get(rid, 0))
-
-    n = len(tstarts)
-    if n == 0:
-        m0 = _pad_len(0) if pad else 0
-        z = np.zeros(m0, np.int32)
-        return z, z.copy(), z.copy(), np.zeros(m0, np.float32)
-    seqs_cat = np.concatenate(seq_parts)
-    quals_cat = np.concatenate(qual_parts)
-    s_off = np.concatenate([[0], np.cumsum([p.shape[0] for p in seq_parts])]).astype(np.int64)
-    cig_cat = np.concatenate(cig_parts)
-    c_off = np.concatenate([[0], np.cumsum([p.shape[0] for p in cig_parts])]).astype(np.int64)
-    tstart_arr = np.asarray(tstarts, np.int64)
-    total = int(np.sum(spans))
-    m = _pad_len(total) if pad else total
-    out_pos = np.zeros(m, np.int32)
-    out_sym = np.zeros(m, np.int8)
-    out_w = np.zeros(m, np.float32)
-    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
-    k = lib.expand_cigars_batch(
-        c(seqs_cat), c(quals_cat), c(s_off), c(cig_cat), c(c_off),
-        c(tstart_arr), np.int32(n), np.int32(qt),
-        c(out_pos), c(out_sym), c(out_w), np.int64(m),
-    )
-    assert k == total, (k, total)
-    bc_out = np.zeros(m, np.int32)
-    bc_arr = np.asarray(bcs, np.int32)
-    if bc_arr.any():
-        # segment fill via cumsum of boundary deltas (np.repeat measured 2.7s
-        # for 4000 segments -> 15.7M elements; this is ~30ms)
-        starts = np.concatenate([[0], np.cumsum(spans)[:-1]]).astype(np.int64)
-        d = np.zeros(total, np.int32)
-        d[starts] = np.diff(np.concatenate([[0], bc_arr]))
-        bc_out[:total] = np.cumsum(d, dtype=np.int32)
-    return out_pos, out_sym.astype(np.int32), bc_out, out_w
 
 
 def build_packed_runs(

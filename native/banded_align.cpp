@@ -210,59 +210,6 @@ void banded_align_batch(const int8_t* queries, const int64_t* q_off, int32_t n,
 
 extern "C" {
 
-// For one batch:
-//  seqs/quals: concatenated aligned-slice codes + phred (offsets s_off[n+1])
-//  cigars: concatenated packed ops (len<<4|op, op 0=M 1=I 2=D), c_off[n+1]
-//  tstart: per-read global target start
-//  out_pos/out_sym/out_w: preallocated to capacity `cap`
-//  qt: quality threshold (weight 0 below)
-// Returns number of COO entries written (or -1 if capacity exceeded).
-int64_t expand_cigars_batch(const int8_t* seqs, const int8_t* quals,
-                            const int64_t* s_off,
-                            const uint32_t* cigars, const int64_t* c_off,
-                            const int64_t* tstart, int32_t n,
-                            int32_t qt,
-                            int32_t* out_pos, int8_t* out_sym, float* out_w,
-                            int64_t cap) {
-    int64_t k = 0;
-    for (int32_t r = 0; r < n; ++r) {
-        const int8_t* s = seqs + s_off[r];
-        const int8_t* q = quals + s_off[r];
-        int64_t t = tstart[r];
-        int64_t si = 0;
-        for (int64_t c = c_off[r]; c < c_off[r + 1]; ++c) {
-            uint32_t len = cigars[c] >> 4;
-            uint32_t op = cigars[c] & 0xF;
-            if (op == 0) {  // M: consumes read + target
-                if (k + len > cap) return -1;
-                for (uint32_t i = 0; i < len; ++i) {
-                    out_pos[k] = static_cast<int32_t>(t + i);
-                    out_sym[k] = s[si + i];
-                    out_w[k] = (q[si + i] >= qt) ? 1.0f : 0.0f;
-                    ++k;
-                }
-                t += len; si += len;
-            } else if (op == 2) {  // D: target only, symbol 4, qual 20
-                if (k + len > cap) return -1;
-                for (uint32_t i = 0; i < len; ++i) {
-                    out_pos[k] = static_cast<int32_t>(t + i);
-                    out_sym[k] = 4;
-                    out_w[k] = (20 >= qt) ? 1.0f : 0.0f;
-                    ++k;
-                }
-                t += len;
-            } else {  // I: read only
-                si += len;
-            }
-        }
-    }
-    return k;
-}
-
-}  // extern "C"
-
-extern "C" {
-
 // Packed expansion: per covered target position emit (symbol, qual) only —
 // positions are reconstructed on-device from per-read (start, span) runs
 // (see bossruns_tpu/models/runs.py), cutting host->device transfer ~8x.
