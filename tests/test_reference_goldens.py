@@ -101,3 +101,13 @@ def test_short_reads_do_not_update():
         rl.approx_ccl,
         np.array([1167, 2729, 3903, 4918, 5866, 6808, 7797, 8912, 10321, 12713]),
     )
+
+
+def test_whale_read_clamps_to_histogram():
+    # ref test_update_whale: a 2.2 Mb read clamps to the last histogram bin
+    # (uint16[1e6] in the reference; longest_read == 999_999)
+    rl = ReadLengthDist()
+    rl.update(np.array([5000, 2_222_222]))
+    nz = np.flatnonzero(rl.hist)
+    assert int(nz[-1]) == 999_999
+    assert rl.lam == pytest.approx((5000 + 999_999) / 2)
