@@ -35,8 +35,8 @@ import numpy as np
 
 from ..ops import genome_ops as gops
 from ..ops.model import ObservationModel, make_model
-from ..ops.scores import ScoreTables, site_scores_t
-from .layout import BUCKET, DS, GenomeLayout
+from ..ops.scores import ScoreTables, site_scores_t_scan
+from .layout import BUCKET, CHUNK, DS, GenomeLayout
 
 
 class GenomeState(NamedTuple):
@@ -158,6 +158,13 @@ class RunsConfig:
     # sharded engine exchanges between neighbour shards. 4096 ds rows =
     # 409.6 kb reads — far beyond any nanopore read-length distribution.
     ccl_clamp_ds: int = 4096
+    # score computation proceeds in genome-axis blocks of ~this many sites
+    # (rounded to a chunk-aligned divisor of the local axis): caps the
+    # [genotypes, sites] f32 posterior temporaries at the block size instead
+    # of the whole (per-shard) genome — the dominant transient at chromosome
+    # scale. Bit-identical to unblocked (ops/scores.site_scores_t_scan).
+    # <= 0 disables blocking.
+    score_block: int = 16 * CHUNK
     # return the post-mask score array in StepAux (parity tests/debugging)
     debug_aux: bool = False
     # Historical note: fused Pallas kernels for the score closed form and the
@@ -263,6 +270,18 @@ class RunsEngine:
             state, batch, params, self._consts
         )
 
+    def _score_block(self, n_local: int) -> int:
+        """Chunk-aligned divisor of the local site axis closest to (and at
+        most) cfg.score_block; 0 when blocking is disabled or pointless."""
+        want = self.config.score_block
+        nc = n_local // CHUNK
+        if want <= 0 or n_local % CHUNK or nc <= 1:
+            return 0
+        bc = max(1, min(want // CHUNK, nc))
+        while nc % bc:
+            bc -= 1
+        return bc * CHUNK if bc * CHUNK < n_local else 0
+
     # ------------------------------------------------------------- state ----
 
     def init_state(self) -> GenomeState:
@@ -319,21 +338,32 @@ class RunsEngine:
         onehot_ref = (
             C.seq[None, :] == jnp.arange(5, dtype=C.seq.dtype)[:, None]
         ).astype(jnp.int32)
-        inc = exp_inc + onehot_ref[None] * match_inc[:, None, :]
-        # saturating uint16 add (see GenomeState.coverage)
+        # saturating uint16 add (see GenomeState.coverage). The summed `inc`
+        # is never formed as its own array: its only consumer is this fused
+        # elementwise chain (a [NB,5,G] int32 inc buffer would rival the
+        # coverage array itself at chromosome scale)
         coverage = jnp.minimum(
-            state.coverage.astype(jnp.int32) + inc, 65535
+            state.coverage.astype(jnp.int32)
+            + exp_inc
+            + onehot_ref[None] * match_inc[:, None, :],
+            65535,
         ).astype(jnp.uint16)
         # change flag per site: any barcode/symbol touched (reference.py:142
-        # flags whole rows of the change mask)
-        changed_site = jnp.any(inc != 0, axis=(0, 1))  # [G]
+        # flags whole rows of the change mask). All increments are >= 0, so
+        # inc != 0 decomposes exactly into (explicit touched) | (match run
+        # covered) — no cancellation possible
+        changed_site = jnp.any(exp_inc != 0, axis=(0, 1)) | jnp.any(
+            match_inc != 0, axis=0
+        )  # [G]
 
         covsum = jnp.sum(coverage, axis=1, dtype=jnp.int32)  # [NB, G]
         covsum_f = covsum.astype(dtype)
         bdt = self.benefit_dtype
 
         # -- 2. scores -------------------------------------------------------
-        fresh, _entropy = site_scores_t(coverage, C.seq, self.tables)  # [NB, G]
+        fresh = site_scores_t_scan(
+            coverage, C.seq, self.tables, self._score_block(G)
+        )  # [NB, G]
         maxed = covsum >= cfg.freeze_cov
         # the score is a mutual information (>= 0); f32 cancellation can leave
         # ~1e-5 negatives at resolved sites

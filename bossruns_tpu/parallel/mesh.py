@@ -56,7 +56,7 @@ from ..models.runs import (
     StepParams,
 )
 from ..ops import genome_ops as gops
-from ..ops.scores import site_scores_t
+from ..ops.scores import site_scores_t_scan
 
 # benefit CCL piece weights 0.95..0.05 (reference.py:241-269); keep the
 # accumulation order identical to ops/genome_ops.expected_benefit
@@ -246,19 +246,26 @@ class ShardedRunsEngine(RunsEngine):
         onehot_l = (
             seq_l[None, :] == jnp.arange(5, dtype=seq_l.dtype)[:, None]
         ).astype(jnp.int32)
-        inc = exp_inc + onehot_l[None] * match_inc[:, None, :]
-        # saturating uint16 add (see models/runs.py GenomeState.coverage)
+        # saturating uint16 add; `inc` stays fused, and changed decomposes
+        # exactly (increments >= 0) — see the single-chip step's comments
         coverage = jnp.minimum(
-            state.coverage.astype(jnp.int32) + inc, 65535
+            state.coverage.astype(jnp.int32)
+            + exp_inc
+            + onehot_l[None] * match_inc[:, None, :],
+            65535,
         ).astype(jnp.uint16)
-        changed_l = jnp.any(inc != 0, axis=(0, 1))          # [Gl]
+        changed_l = jnp.any(exp_inc != 0, axis=(0, 1)) | jnp.any(
+            match_inc != 0, axis=0
+        )  # [Gl]
         changed_site = lax.psum(changed_l.astype(jnp.int32), axb) > 0
 
         covsum = jnp.sum(coverage, axis=1, dtype=jnp.int32)
         covsum_f = covsum.astype(dtype)
 
         # -- 2. scores (runs.py step 2) ---------------------------------------
-        fresh, _entropy = site_scores_t(coverage, seq_l, self.tables)
+        fresh = site_scores_t_scan(
+            coverage, seq_l, self.tables, self._score_block(Gl)
+        )
         maxed = covsum >= cfg.freeze_cov
         fresh = jnp.maximum(fresh, 0.0)
         scores = jnp.where(valid_l[None, :], fresh, 0.0)

@@ -114,3 +114,32 @@ def test_score_matmuls_pin_highest_precision():
         assert prec is not None and all(
             p == jax.lax.Precision.HIGHEST for p in flat
         ), f"dot_general without HIGHEST precision: {e.params}"
+
+
+def test_blocked_scores_bit_identical(rng):
+    """site_scores_t_scan (genome-axis blocked; caps [genotypes, N] temps)
+    must reproduce the one-shot kernel bit for bit under jit — the engine's
+    context. (Eager vs jit can differ ~1 ulp from different XLA fusion of the
+    same chain, so both sides are compared as jitted functions.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from bossruns_tpu.ops.scores import (
+        ScoreTables,
+        site_scores_t,
+        site_scores_t_scan,
+    )
+
+    N = 12 * 1024
+    counts = jnp.asarray(rng.integers(0, 40, (2, 5, N)).astype(np.uint16))
+    seq = jnp.asarray(rng.integers(0, 4, N).astype(np.int8))
+    for ploidy in (1, 2):
+        t = ScoreTables(make_model(ploidy=ploidy), jnp.float32)
+        full = jax.jit(lambda c, r: site_scores_t(c, r, t)[0])(counts, seq)
+        for block in (1024, 999, 10 * N):  # non-dividing/oversized fall back
+            blocked = jax.jit(
+                lambda c, r, b=block: site_scores_t_scan(c, r, t, b)
+            )(counts, seq)
+            np.testing.assert_array_equal(
+                np.asarray(full), np.asarray(blocked), err_msg=f"block={block}"
+            )
