@@ -38,11 +38,12 @@ CCL = np.array([30000, 20000, 14000, 10000, 7000, 5000, 3500, 2200, 1200, 400])
 def test_120mb_diploid_sharded_two_batches():
     # BOSS_SCALE_MB=250 runs it at human-chr1 scale (BASELINE config 3);
     # BOSS_SCALE_MB=1000 BOSS_SCALE_DEV=16 is the gigabase proof of the
-    # wide (barcode, uint32 position) batch format + uint16 coverage — the
-    # full 3.1 Gb human genome needs a real 16-chip slice (see
-    # docs/DESIGN.md memory plan) because the virtual CPU shards share one
-    # host's RAM and the single-process XLA CPU backend aborts on ~5 GB
-    # per-shard-program buffers, which real TPU shards never see.
+    # wide (barcode, uint32 position) batch format + uint16 coverage +
+    # blocked scoring — measured passing in 23 min / ~70 GB peak on the
+    # 125 GB 4-CPU host (XLA_FLAGS=--xla_force_host_platform_device_count=16
+    # too, conftest only forces 8). The full 3.1 Gb human genome needs a
+    # real 16-chip slice (see docs/DESIGN.md memory plan) because the
+    # virtual CPU shards share one host's RAM.
     # Default 120 Mb / 8 shards stays under ~12 min.
     total = int(float(os.environ.get("BOSS_SCALE_MB", "120")) * 1e6)
     ndev = int(os.environ.get("BOSS_SCALE_DEV", "8"))
