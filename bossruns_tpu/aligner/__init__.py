@@ -196,23 +196,28 @@ class TpuAligner:
         )}
         cigs = []
         for jix, (g, q, *_rest) in enumerate(jobs):
-            if cost[jix] < 0 or not cigars[jix]:
+            if cost[jix] < 0 or cigars[jix].size == 0:
                 continue
             m = q.shape[0]
             if cost[jix] / m > self.max_divergence:
                 continue
-            cig = cigars[jix]
-            # strip leading/trailing insertions (query-only) into soft clips
+            cig = cigars[jix]  # packed uint32, forward order
+            lens_a = (cig >> 4).astype(np.int64)
+            ops_a = cig & 0xF
+            # strip leading/trailing insertions (query-only) into soft clips;
+            # traceback merges runs, so each end has at most one I run
             s_al = 0
-            while cig and cig[0][1] == 1:
-                s_al += cig[0][0]
-                cig = cig[1:]
+            lo, hi = 0, cig.size
+            if ops_a[0] == 1:
+                s_al = int(lens_a[0])
+                lo = 1
             e_clip = 0
-            while cig and cig[-1][1] == 1:
-                e_clip += cig[-1][0]
-                cig = cig[:-1]
-            if not cig:
+            if hi > lo and ops_a[hi - 1] == 1:
+                e_clip = int(lens_a[hi - 1])
+                hi -= 1
+            if hi <= lo:
                 continue
+            cig, lens_a, ops_a = cig[lo:hi], lens_a[lo:hi], ops_a[lo:hi]
             ts, te = int(tstart[jix]), int(tend[jix])
             span = te - ts
             if span < min_len:
@@ -220,9 +225,11 @@ class TpuAligner:
             cid = int(np.searchsorted(self._block_starts, ts, side="right") - 1)
             if cid < 0 or ts >= self._block_ends[cid] or te > self._block_ends[cid]:
                 continue  # crosses padding => bogus candidate
-            n_m = sum(l for l, o in cig if o == 0)
-            n_i = sum(l for l, o in cig if o == 1)
-            n_d = sum(l for l, o in cig if o == 2)
+            is_m = ops_a == 0
+            is_i = ops_a == 1
+            n_m = int(lens_a[is_m].sum())
+            n_i = int(lens_a[is_i].sum())
+            n_d = int(lens_a[~(is_m | is_i)].sum())
             mism = int(cost[jix]) - (n_i + n_d + s_al + e_clip)
             nmatch = max(0, n_m - max(0, mism))
             rd = results[g]
@@ -249,7 +256,7 @@ class TpuAligner:
             rows["align_score"].append(2 * nmatch - int(cost[jix]))
             rows["s1"].append(int(rd["votes"]))
             rows["primary"].append(1)
-            cigs.append(native.cigar_to_string(cig))
+            cigs.append(cig)  # packed uint32; consumers accept it directly
 
         return PafRecords(
             qname=np.array(rows["qname"], dtype=object),

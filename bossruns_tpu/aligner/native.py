@@ -120,8 +120,11 @@ def align_batch(queries_cat, q_off, target, win_start, win_end, pad, half, threa
                 cigar_cap=4096):
     """Batch banded alignment.
 
-    Returns (cost [n], tstart [n], tend [n], cigars: list of [(len, op)]).
-    cost < 0 or empty cigar => failed.
+    Returns (cost [n], tstart [n], tend [n], cigars: list of packed uint32
+    arrays in forward order, (length << 4) | op with op 0=M 1=I 2=D — the
+    same packing the C kernels and io/coo_native consume, so CIGARs flow
+    through the pipeline without string round-trips). cost < 0 or empty
+    cigar => failed.
     """
     n = int(q_off.shape[0] - 1)
     lib = _load()
@@ -141,10 +144,9 @@ def align_batch(queries_cat, q_off, target, win_start, win_end, pad, half, threa
             c(cost), c(tstart), c(tend),
             c(cbuf), cigar_cap, c(clen),
         )
-        cigars = []
-        for r in range(n):
-            packed = cbuf[r, : clen[r]][::-1]  # traceback order -> forward
-            cigars.append([(int(x >> 4), int(x & 0xF)) for x in packed])
+        # traceback order -> forward; a reversed-slice copy per read, no
+        # per-op Python (the tuple-list form cost ~1 s per 2000 long reads)
+        cigars = [np.ascontiguousarray(cbuf[r, : clen[r]][::-1]) for r in range(n)]
         return cost, tstart, tend, cigars
 
     cost = np.full(n, -1, np.int32)
@@ -158,9 +160,14 @@ def align_batch(queries_cat, q_off, target, win_start, win_end, pad, half, threa
         cost[r] = cst
         tstart[r] = ws + ts
         tend[r] = ws + te
-        cigars.append(cig)
+        cigars.append(
+            np.array([(l << 4) | o for l, o in cig], np.uint32)
+        )
     return cost, tstart, tend, cigars
 
 
-def cigar_to_string(cigar: list[tuple[int, int]]) -> str:
+def cigar_to_string(cigar) -> str:
+    """Packed uint32 array or [(len, op)] tuples -> 'cg:Z' style string."""
+    if isinstance(cigar, np.ndarray):
+        return "".join(f"{int(x) >> 4}{OPS[int(x) & 0xF]}" for x in cigar)
     return "".join(f"{l}{OPS[o]}" for l, o in cigar)

@@ -28,7 +28,11 @@ for _i, _b in enumerate(b"ACGT"):
 _RC_CODE = np.array([3, 2, 1, 0, 4], dtype=np.int8)
 
 
-def _pack_cigar(cig: str) -> np.ndarray:
+def _pack_cigar(cig) -> np.ndarray:
+    """cg:Z string -> packed (len<<4|op) uint32; packed arrays (the
+    TpuAligner's native output format) pass through untouched."""
+    if isinstance(cig, np.ndarray):
+        return cig.astype(np.uint32, copy=False)
     parts = _CIG_RE.findall(cig)
     return np.array(
         [(int(l) << 4) | _OP_CODE[o] for l, o in parts], dtype=np.uint32

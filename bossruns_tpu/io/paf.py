@@ -52,7 +52,8 @@ def revcomp(seq: str) -> str:
 
 @dataclass
 class PafRecords:
-    """Columnar PAF records. ``cigars`` holds raw cg:Z strings (or None)."""
+    """Columnar PAF records. ``cigars`` holds raw cg:Z strings, packed
+    uint32 arrays ((len<<4)|op, the TpuAligner's native format), or None."""
 
     qname: np.ndarray   # object
     qlen: np.ndarray    # int64
@@ -153,19 +154,27 @@ def best_per_query(rec: PafRecords) -> dict[str, int]:
     return best
 
 
-def expand_cigar(cigar: str, seq_aln: str, qual_aln: str):
+def expand_cigar(cigar, seq_aln: str, qual_aln: str):
     """Per-target-position (symbol, qual) arrays for one alignment.
 
-    seq_aln/qual_aln: the aligned slice of the (strand-corrected) read,
-    i.e. read[qstart:qend] on the mapped strand. Returns (symbols uint8
-    [tspan], quals uint8 [tspan]) where symbol 4 marks a deletion.
+    cigar: a cg:Z string, or a packed uint32 array ((len<<4)|op, op 0=M
+    1=I 2=D — the TpuAligner's native format). seq_aln/qual_aln: the aligned
+    slice of the (strand-corrected) read, i.e. read[qstart:qend] on the
+    mapped strand. Returns (symbols uint8 [tspan], quals uint8 [tspan])
+    where symbol 4 marks a deletion.
     """
-    parts = _CIG_RE.findall(cigar)
-    lengths = np.array([int(p[0]) for p in parts], dtype=np.int64)
-    ops = _CIG_OP[np.frombuffer("".join(p[1] for p in parts).encode(), dtype=np.uint8)]
-    rep = np.repeat(ops, lengths)
-    consumes_read = rep != 2          # M, I, S
-    consumes_target = (rep == 1) | (rep == 2)
+    if isinstance(cigar, np.ndarray):
+        lengths = (cigar >> 4).astype(np.int64)
+        rep = np.repeat((cigar & 0xF).astype(np.uint8), lengths)
+        consumes_read = rep != 2      # M, I
+        consumes_target = rep != 1    # M, D
+    else:
+        parts = _CIG_RE.findall(cigar)
+        lengths = np.array([int(p[0]) for p in parts], dtype=np.int64)
+        ops = _CIG_OP[np.frombuffer("".join(p[1] for p in parts).encode(), dtype=np.uint8)]
+        rep = np.repeat(ops, lengths)
+        consumes_read = rep != 2          # M, I, S
+        consumes_target = (rep == 1) | (rep == 2)
 
     read_sym = _BASE_LUT[np.frombuffer(seq_aln.encode(), dtype=np.uint8)]
     read_qual = np.frombuffer(qual_aln.encode(), dtype=np.uint8) - 33

@@ -22,6 +22,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def paf_line(rec, i) -> str:
     cg = rec.cigars[i]
+    if cg is not None and not isinstance(cg, str):  # packed uint32 array
+        from bossruns_tpu.aligner.native import cigar_to_string
+
+        cg = cigar_to_string(cg)
     tags = f"\ttp:A:P\tAS:i:{rec.align_score[i]}\ts1:i:{rec.s1[i]}"
     if cg:
         tags += f"\tcg:Z:{cg}"
