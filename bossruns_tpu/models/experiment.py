@@ -24,7 +24,7 @@ from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.misc import make_output_dirs, write_strategy_npz
 from ..utils.readlen import ReadLengthDist
 from .layout import GenomeLayout, build_layout
-from .runs import ReadBatch, RunsConfig, RunsEngine
+from .runs import ReadBatch, RunsConfig, RunsEngine, normalize_state
 from .runs_sim import load_reference_contigs
 
 logger = logging.getLogger("boss_tpu")
@@ -93,6 +93,7 @@ class BossRuns:
             restored = load_checkpoint(self.out_dir, type(self.state))
             if restored is not None:
                 self.state, host, extra = restored
+                self.state = normalize_state(self.state)
                 self.batch = int(host.get("batch", 0))
                 self.rl_dist.hist = extra.get("rl_hist", self.rl_dist.hist)
                 self.rl_dist.update([])

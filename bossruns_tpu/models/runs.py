@@ -83,6 +83,19 @@ class ReadBatch(NamedTuple):
     rs_w: jax.Array      # [Rs] f32
 
 
+def normalize_state(state: GenomeState) -> GenomeState:
+    """Cast a restored checkpoint to the current state dtypes.
+
+    Checkpoints written before the uint16-coverage change stored int32;
+    without the cast a resumed run would recompile the step twice (once for
+    the legacy dtype, once after the first step emits uint16)."""
+    if state.coverage.dtype != jnp.uint16:
+        state = state._replace(
+            coverage=jnp.clip(state.coverage, 0, 65535).astype(jnp.uint16)
+        )
+    return state
+
+
 class StepParams(NamedTuple):
     approx_ccl: jax.Array       # [10] int32 full-res CCL pieces
     time_cost: jax.Array        # f32 scalar (lambda - mu - rho)

@@ -24,7 +24,7 @@ from ..utils.checkpoint import MetricsWriter, load_checkpoint, save_checkpoint
 from ..utils.misc import make_output_dirs, random_id, write_strategy_npz
 from ..utils.readlen import ReadLengthDist
 from .layout import DS, GenomeLayout, build_layout
-from .runs import ReadBatch, RunsConfig, RunsEngine
+from .runs import ReadBatch, RunsConfig, RunsEngine, normalize_state
 
 logger = logging.getLogger("boss_tpu")
 
@@ -189,6 +189,7 @@ class BossRunsSim:
             restored = load_checkpoint(self.out_dir, type(self.state))
             if restored is not None:
                 self.state, host, extra = restored
+                self.state = normalize_state(self.state)
                 self.batch = int(host.get("batch", 0))
                 self.read_cache.time_boss = int(host.get("time_boss", 0))
                 self.read_cache.time_control = int(host.get("time_control", 0))

@@ -40,3 +40,34 @@ def test_checkpoint_and_resume(corpus, tmp_path):
     assert sim2.rl_dist.lam == sim.rl_dist.lam
     sim2.process_batch()  # continues cleanly
     assert sim2.batch == 5
+
+
+def test_resume_from_legacy_int32_coverage(corpus, tmp_path):
+    """Checkpoints written before the uint16-coverage change stored int32;
+    resume must normalise the dtype (models/runs.py normalize_state) so the
+    step compiles once with the current state signature."""
+    sim = BossRunsSim(
+        ref=corpus["ref"], fq=corpus["fq"], paf_full=corpus["paf_full"],
+        paf_trunc=corpus["paf_trunc"], name="legacy", batchsize=100, maxb=8,
+        out_base=tmp_path,
+    )
+    sim.checkpoint_every = 1
+    sim.process_batch()
+    ckpt = Path(tmp_path) / "out_legacy" / "checkpoint" / "state.npz"
+    with np.load(ckpt) as z:
+        arrays = {k: z[k] for k in z}
+    arrays["coverage"] = arrays["coverage"].astype(np.int32)  # legacy dtype
+    np.savez_compressed(ckpt, **arrays)
+
+    sim2 = BossRunsSim(
+        ref=corpus["ref"], fq=corpus["fq"], paf_full=corpus["paf_full"],
+        paf_trunc=corpus["paf_trunc"], name="legacy", batchsize=100, maxb=8,
+        out_base=tmp_path, resume=True,
+    )
+    assert sim2.state.coverage.dtype == np.uint16
+    assert (
+        np.asarray(sim2.state.coverage).sum()
+        == np.asarray(sim.state.coverage).sum()
+    )
+    sim2.process_batch()
+    assert sim2.batch == 2
