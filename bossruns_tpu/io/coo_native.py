@@ -39,6 +39,48 @@ def _pack_cigar(cig) -> np.ndarray:
     )
 
 
+def _cat_cigars(parts: list) -> tuple[np.ndarray, np.ndarray]:
+    """(concatenated packed ops uint32, offsets int64[n+1]) for a mixed list
+    of cg:Z strings and packed arrays. Strings are parsed in ONE native call
+    (native/parse_cigar_batch) — the per-record Python regex parse cost
+    ~60 us x thousands of records per simulation batch."""
+    lib = native_mod._load()
+    s_idx = [i for i, p in enumerate(parts) if not isinstance(p, np.ndarray)]
+    arrs: list = list(parts)
+    if s_idx and lib is not None and hasattr(lib, "parse_cigar_batch"):
+        if not hasattr(lib, "_cigparse_ready"):
+            lib.parse_cigar_batch.restype = ctypes.c_int64
+            lib.parse_cigar_batch.argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib._cigparse_ready = True
+        cat = "".join(parts[i] for i in s_idx).encode()
+        offs = np.zeros(len(s_idx) + 1, np.int64)
+        np.cumsum([len(parts[i]) for i in s_idx], out=offs[1:])
+        cap = len(cat) // 2 + len(s_idx) + 1
+        out = np.empty(cap, np.uint32)
+        counts = np.empty(len(s_idx), np.int32)
+        c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        tot = lib.parse_cigar_batch(cat, c(offs), np.int32(len(s_idx)),
+                                    c(out), np.int64(cap), c(counts))
+        assert tot >= 0, "malformed cigar string"
+        bnd = np.zeros(len(s_idx) + 1, np.int64)
+        np.cumsum(counts, out=bnd[1:])
+        for j, i in enumerate(s_idx):
+            arrs[i] = out[bnd[j] : bnd[j + 1]]
+    elif s_idx:
+        for i in s_idx:
+            arrs[i] = _pack_cigar(parts[i])
+    c_off = np.zeros(len(arrs) + 1, np.int64)
+    np.cumsum([a.shape[0] for a in arrs], out=c_off[1:])
+    cat_ops = (
+        np.concatenate(arrs).astype(np.uint32, copy=False)
+        if arrs else np.zeros(0, np.uint32)
+    )
+    return cat_ops, c_off
+
+
 def build_packed_runs(
     layout: GenomeLayout,
     record_sets,  # list of (rec, rows, seqs, quals)
@@ -90,7 +132,7 @@ def build_packed_runs(
                 qs, qe = ql - qe, ql - qs
             seq_parts.append(codes[qs:qe])
             qual_parts.append(np.clip(qarr[qs:qe], 0, 127).astype(np.int8))
-            cig_parts.append(_pack_cigar(cig))
+            cig_parts.append(cig)
             rstarts.append(int(layout.offsets[tid]) + int(rec.tstart[i]))
             spans.append(int(rec.tend[i] - rec.tstart[i]))
             rbcs.append(0 if barcodes is None else barcodes.get(rid, 0))
@@ -100,8 +142,7 @@ def build_packed_runs(
         seqs_cat = np.concatenate(seq_parts)
         quals_cat = np.concatenate(qual_parts)
         s_off = np.concatenate([[0], np.cumsum([x.shape[0] for x in seq_parts])]).astype(np.int64)
-        cig_cat = np.concatenate(cig_parts)
-        c_off = np.concatenate([[0], np.cumsum([x.shape[0] for x in cig_parts])]).astype(np.int64)
+        cig_cat, c_off = _cat_cigars(cig_parts)
         total = int(np.sum(spans))
         out_sym = np.zeros(total, np.int8)
         out_qual = np.zeros(total, np.int8)

@@ -91,33 +91,36 @@ def parse_paf(text: str | bytes, min_len: int = 1, primary_only: bool = True) ->
     align_scores: list[int] = []
     s1s: list[int] = []
     prims: list[int] = []
+
+    def tag_val(rest: str, key: str) -> str | None:
+        # tags always follow a tab; find is one C substring search instead of
+        # splitting the (cigar-bearing) remainder into tag strings
+        j = rest.find(key)
+        if j < 0:
+            return None
+        j += len(key)
+        e = rest.find("\t", j)
+        return rest[j:] if e < 0 else rest[j:e]
+
     for line in text.splitlines():
         if not line:
             continue
-        f = line.split("\t")
+        f = line.split("\t", 12)  # f[12] = raw tag remainder (if any)
         if len(f) < 12:
             continue
         blocklen = int(f[10])
-        cg = None
-        a_s = 0
-        s1 = 0
-        prim = 0
-        for tag in f[12:]:
-            if tag.startswith("cg:Z:"):
-                cg = tag[5:]
-            elif tag.startswith("AS:i:"):
-                a_s = int(tag[5:])
-            elif tag.startswith("s1:i:"):
-                s1 = int(tag[5:])
-            elif tag.startswith("tp:A:"):
-                prim = 1 if tag[5:] == "P" else 0
+        rest = f[12] if len(f) > 12 else ""
+        prim = 1 if tag_val(rest, "tp:A:") == "P" else 0
         if blocklen < min_len or (primary_only and not prim):
             continue
-        for c, v in zip(cols, f[:12]):
+        cg = tag_val(rest, "cg:Z:")
+        a_s = tag_val(rest, "AS:i:")
+        s1 = tag_val(rest, "s1:i:")
+        for c, v in zip(cols, f):
             c.append(v)
         cigars.append(cg)
-        align_scores.append(a_s)
-        s1s.append(s1)
+        align_scores.append(int(a_s) if a_s else 0)
+        s1s.append(int(s1) if s1 else 0)
         prims.append(prim)
 
     def ints(i):
