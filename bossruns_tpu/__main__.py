@@ -17,6 +17,14 @@ logger = logging.getLogger("boss_tpu")
 
 
 def main(argv=None) -> int:
+    # multi-host: join the distributed runtime BEFORE the first jax use
+    # (BOSS_COORDINATOR/BOSS_NUM_PROCESSES/BOSS_PROCESS_ID env; no-op when
+    # unset). After this jax.devices() is the global device list and the
+    # [tpu] mesh shards may span hosts; file outputs happen on process 0.
+    from .parallel.distributed import init_from_env
+
+    init_from_env()
+
     # the decision path (benefit sums, threshold scan) runs in f64 — see
     # RunsConfig.benefit_dtype; without x64 it silently falls back to f32
     import jax

@@ -38,6 +38,18 @@ def _stamp_cache(path: Path, cache: Path) -> None:
     Path(f"{cache}.size").write_text(str(Path(path).stat().st_size))
 
 
+def _atomic_np_write(cache: Path, saver) -> None:
+    """Write an offset cache via a per-process tmp + rename: multi-host runs
+    have every process scanning the same shared-filesystem inputs
+    concurrently, and a reader must never see a half-written index."""
+    import os
+
+    tmp = cache.with_name(f"{cache.name}.tmp{os.getpid()}")
+    with open(tmp, "wb") as fh:  # file object: np.save/savez won't append a suffix
+        saver(fh)
+    tmp.rename(cache)
+
+
 def scan_fastq_offsets(path: str | Path) -> np.ndarray:
     """Byte offset of every 4-line fastq record (cached as .offsets.npy)."""
     cache = Path(f"{path}.offsets.npy")
@@ -53,7 +65,7 @@ def scan_fastq_offsets(path: str | Path) -> np.ndarray:
                 offsets.append(mm.tell())
         mm.close()
     arr = np.asarray(offsets[:-1] if k % 4 == 0 else offsets, dtype=np.uint64)
-    np.save(cache, arr)
+    _atomic_np_write(cache, lambda fh: np.save(fh, arr))
     _stamp_cache(Path(path), cache)
     logger.info(f"scanned {arr.shape[0]} fastq record offsets for {path}")
     return arr
@@ -146,7 +158,7 @@ def scan_paf_offsets(path: str | Path) -> tuple[np.ndarray, np.ndarray, np.ndarr
     names = np.asarray(names, dtype=object)
     offs = np.asarray(offs, dtype=np.int64)
     lens = np.asarray(lens, dtype=np.int64)
-    np.savez(cache, names=names, offsets=offs, lengths=lens)
+    _atomic_np_write(cache, lambda fh: np.savez(fh, names=names, offsets=offs, lengths=lens))
     _stamp_cache(Path(path), cache)
     return names, offs, lens
 

@@ -74,12 +74,15 @@ class ReadCache:
                 self.dump(cond)
 
     def dump(self, cond: str) -> None:
+        from ..parallel.distributed import is_primary
+
         n = getattr(self, f"dump_n_{cond}")
         cache = getattr(self, f"cache_{cond}")
         logger.info(f"dump {cond} #{n}: {len(cache)} reads")
-        with open(self.out / f"{cond}_{n}.fa", "w") as fh:
-            for rid, seq in cache.items():
-                fh.write(f">{rid}.{random_id()}\n{seq}\n")
+        if is_primary():  # multi-host: every process tracks, primary writes
+            with open(self.out / f"{cond}_{n}.fa", "w") as fh:
+                for rid, seq in cache.items():
+                    fh.write(f">{rid}.{random_id()}\n{seq}\n")
         setattr(self, f"dump_n_{cond}", n + 1)
         setattr(self, f"cache_{cond}", {})
 

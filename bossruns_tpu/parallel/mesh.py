@@ -57,6 +57,7 @@ from ..models.runs import (
 )
 from ..ops import genome_ops as gops
 from ..ops.scores import site_scores_t_scan
+from . import distributed as dist
 
 # benefit CCL piece weights 0.95..0.05 (reference.py:241-269); keep the
 # accumulation order identical to ops/genome_ops.expected_benefit
@@ -162,8 +163,11 @@ class ShardedRunsEngine(RunsEngine):
             P(None),     # fhat_rows [Wf]
             P(None),     # contig_denom [C+1]
         )
+        # shard_put (not device_put): works when the mesh spans processes —
+        # each process materialises only its addressable blocks of the
+        # genome-axis constants
         self._consts = tuple(
-            jax.device_put(c, ns(*spec))
+            dist.shard_put(np.asarray(c), ns(*spec))
             for c, spec in zip(
                 (
                     self.c_seq, self.c_site_valid,
@@ -186,9 +190,12 @@ class ShardedRunsEngine(RunsEngine):
             out_specs=(self._state_specs, aux_specs),
             check_vma=False,
         )
-        self.step = jax.jit(
-            lambda state, batch, params: mapped(state, batch, params, self._consts),
-            donate_argnums=(0,),
+        # consts are explicit jit ARGUMENTS: closing over arrays that span
+        # non-addressable devices is rejected in multi-process runs (and
+        # closure-captured genome-sized arrays would embed as HLO literals)
+        self._jit_step = jax.jit(mapped, donate_argnums=(0,))
+        self.step = lambda state, batch, params: self._jit_step(
+            state, batch, params, self._consts
         )
 
     # ---------------------------------------------------------------- body ---
@@ -438,8 +445,21 @@ class ShardedRunsEngine(RunsEngine):
         )
 
     def put_batch(self, batch: ReadBatch) -> ReadBatch:
+        if self.mesh.devices.size > jax.local_device_count():
+            return dist.replicate(batch, self.mesh)  # multi-host: callback form
         rep = NamedSharding(self.mesh, P())
         return jax.device_put(batch, rep)
+
+    def make_params(self, approx_ccl: np.ndarray, time_cost: float) -> StepParams:
+        params = super().make_params(approx_ccl, time_cost)
+        if self.mesh.devices.size > jax.local_device_count():
+            return dist.replicate(params, self.mesh)
+        return params
+
+    def strat_dict(self, state: GenomeState) -> dict[str, np.ndarray]:
+        if not state.strat.is_fully_addressable:
+            state = state._replace(strat=dist.fetch(state.strat))
+        return super().strat_dict(state)
 
 
 def demo_sharded_step(n_devices: int | None = None, barcode_shards: int = 1, seed: int = 0):

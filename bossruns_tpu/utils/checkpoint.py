@@ -25,11 +25,17 @@ def save_checkpoint(out_dir: str | Path, state, host_state: dict, tag: str = "st
     extra_arrays: host-side numpy arrays (e.g. the read-length histogram),
     stored in the same npz under 'host__<name>'.
     """
+    from ..parallel.distributed import fetch, is_primary
+
     ckpt = Path(out_dir) / "checkpoint"
+    final = ckpt / f"{tag}.npz"
+    # fetch is a collective in multi-host runs (genome-sharded arrays
+    # all-gather): EVERY process must execute it, then only the primary writes
+    arrays = {k: fetch(v) for k, v in state._asdict().items()}
+    if not is_primary():
+        return final
     ckpt.mkdir(parents=True, exist_ok=True)
     tmp = ckpt / f"{tag}_tmp.npz"
-    final = ckpt / f"{tag}.npz"
-    arrays = {k: np.asarray(v) for k, v in state._asdict().items()}
     for k, v in (extra_arrays or {}).items():
         arrays[f"host__{k}"] = np.asarray(v)
     np.savez_compressed(tmp, **arrays)
@@ -82,5 +88,9 @@ class MetricsWriter:
         self.path.parent.mkdir(parents=True, exist_ok=True)
 
     def write(self, **fields) -> None:
+        from ..parallel.distributed import is_primary
+
+        if not is_primary():
+            return
         with open(self.path, "a") as fh:
             fh.write(json.dumps(fields, default=_coerce) + "\n")

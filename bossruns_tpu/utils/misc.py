@@ -27,11 +27,16 @@ def init_logger(logfile: str | Path | None = None, level=logging.INFO) -> loggin
 def write_strategy_npz(out_dir: str | Path, strat_dict: dict[str, np.ndarray], name: str = "boss") -> Path:
     """Atomically (tmp + rename) write the strategy mask file that the
     readfish side polls — the cross-process contract of the reference
-    (runs/core.py:59-73)."""
+    (runs/core.py:59-73). In a multi-host run only the primary process
+    writes (all processes hold identical strategies — SPMD contract)."""
+    from ..parallel.distributed import is_primary
+
     masks = Path(out_dir) / "masks"
+    final = masks / f"{name}.npz"
+    if not is_primary():
+        return final
     masks.mkdir(parents=True, exist_ok=True)
     tmp = masks / f"{name}_tmp.npz"
-    final = masks / f"{name}.npz"
     np.savez(tmp, **strat_dict)
     tmp.rename(final)
     return final
