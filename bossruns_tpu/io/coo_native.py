@@ -21,13 +21,6 @@ from .coo import _pad_len
 _CIG_RE = re.compile(r"(\d+)([MIDNSHP=XB])")
 _OP_CODE = {"M": 0, "=": 0, "X": 0, "I": 1, "S": 1, "D": 2, "N": 2}
 
-_ENC = np.full(256, 4, dtype=np.int8)
-for _i, _b in enumerate(b"ACGT"):
-    _ENC[_b] = _i
-    _ENC[_b + 32] = _i
-_RC_CODE = np.array([3, 2, 1, 0, 4], dtype=np.int8)
-
-
 def _pack_cigar(cig) -> np.ndarray:
     """cg:Z string -> packed (len<<4|op) uint32; packed arrays (the
     TpuAligner's native output format) pass through untouched."""
@@ -94,7 +87,7 @@ def build_packed_runs(
     concatenated-genome offsets exceed int32 beyond ~2.1 Gb.
     """
     lib = native_mod._load()
-    if not lib:
+    if not lib or not hasattr(lib, "prep_read_windows"):
         return _build_packed_runs_numpy(layout, record_sets, barcodes)
     if not hasattr(lib, "_packed_ready"):
         lib.expand_cigars_packed.restype = ctypes.c_int64
@@ -103,57 +96,74 @@ def build_packed_runs(
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.prep_read_windows.restype = ctypes.c_int64
+        lib.prep_read_windows.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_char_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ]
         lib._packed_ready = True
     tid_of = {n: i for i, n in enumerate(layout.names)}
     sym_chunks, qual_chunks = [], []
     rstarts, rspans, rbcs = [], [], []
     c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
     for rec, rows, seqs, quals in record_sets:
-        seq_parts, qual_parts, cig_parts = [], [], []
-        spans = []
-        for i in rows:
-            tid = tid_of.get(rec.tname[i])
-            if tid is None:
-                continue
-            rid = rec.qname[i]
-            cig = rec.cigars[i]
-            if cig is None:
-                raise ValueError(f"record for {rid} has no cigar")
-            qs, qe, ql = int(rec.qstart[i]), int(rec.qend[i]), int(rec.qlen[i])
-            codes = _ENC[np.frombuffer(seqs[rid].encode(), np.uint8)]
-            qv = quals.get(rid, "")
-            qarr = (
-                np.frombuffer(qv.encode(), np.uint8).astype(np.int16) - 33
-                if qv else np.full(codes.shape[0], 40, np.int16)
-            )
-            if rec.rev[i]:
-                codes = _RC_CODE[np.minimum(codes, 4)][::-1]
-                qarr = qarr[::-1]
-                qs, qe = ql - qe, ql - qs
-            seq_parts.append(codes[qs:qe])
-            qual_parts.append(np.clip(qarr[qs:qe], 0, 127).astype(np.int8))
-            cig_parts.append(cig)
-            rstarts.append(int(layout.offsets[tid]) + int(rec.tstart[i]))
-            spans.append(int(rec.tend[i] - rec.tstart[i]))
-            rbcs.append(0 if barcodes is None else barcodes.get(rid, 0))
-        if not spans:
+        rows = np.asarray(list(rows), dtype=np.int64)
+        if rows.shape[0] == 0:
             continue
-        n = len(spans)
-        seqs_cat = np.concatenate(seq_parts)
-        quals_cat = np.concatenate(qual_parts)
-        s_off = np.concatenate([[0], np.cumsum([x.shape[0] for x in seq_parts])]).astype(np.int64)
+        tids = np.array(
+            [tid_of.get(t, -1) for t in rec.tname[rows]], dtype=np.int64
+        )
+        sel = rows[tids >= 0]
+        tids = tids[tids >= 0]
+        n = sel.shape[0]
+        if n == 0:
+            continue
+        rids = rec.qname[sel]
+        cig_parts = [rec.cigars[i] for i in sel]
+        if any(p is None for p in cig_parts):
+            bad = rids[[j for j, p in enumerate(cig_parts) if p is None][0]]
+            raise ValueError(f"record for {bad} has no cigar")
+        seq_strs = [seqs[r] for r in rids]
+        qual_strs = [quals.get(r, "") for r in rids]
+        seq_cat = "".join(seq_strs).encode()
+        qual_cat = "".join(qual_strs).encode()
+        seq_off = np.zeros(n + 1, np.int64)
+        np.cumsum([len(s) for s in seq_strs], out=seq_off[1:])
+        qual_off = np.zeros(n + 1, np.int64)
+        np.cumsum([len(s) for s in qual_strs], out=qual_off[1:])
+        qs = rec.qstart[sel].astype(np.int64)
+        qe = rec.qend[sel].astype(np.int64)
+        rev = rec.rev[sel].astype(np.uint8)
+        wtot = int((qe - qs).sum())
+        seqs_win = np.empty(wtot, np.int8)
+        quals_win = np.empty(wtot, np.int8)
+        k = lib.prep_read_windows(
+            seq_cat, c(seq_off), qual_cat, c(qual_off),
+            c(qs), c(qe), c(np.ascontiguousarray(rev)), np.int32(n),
+            c(seqs_win), c(quals_win), np.int64(wtot),
+        )
+        assert k == wtot, (k, wtot)
+        s_off = np.zeros(n + 1, np.int64)
+        np.cumsum(qe - qs, out=s_off[1:])
         cig_cat, c_off = _cat_cigars(cig_parts)
-        total = int(np.sum(spans))
+        spans = (rec.tend[sel] - rec.tstart[sel]).astype(np.int64)
+        total = int(spans.sum())
         out_sym = np.zeros(total, np.int8)
         out_qual = np.zeros(total, np.int8)
         k = lib.expand_cigars_packed(
-            c(seqs_cat), c(quals_cat), c(s_off), c(cig_cat), c(c_off),
+            c(seqs_win), c(quals_win), c(s_off), c(cig_cat), c(c_off),
             np.int32(n), c(out_sym), c(out_qual), np.int64(total),
         )
         assert k == total, (k, total)
         sym_chunks.append(out_sym)
         qual_chunks.append(out_qual)
-        rspans.extend(spans)
+        rstarts.append(layout.offsets[tids] + rec.tstart[sel].astype(np.int64))
+        rspans.append(spans.astype(np.int32))
+        rbcs.append(
+            np.zeros(n, np.int32) if barcodes is None
+            else np.array([barcodes.get(r, 0) for r in rids], np.int32)
+        )
     if not rspans:
         z8 = np.zeros(0, np.int8)
         z32 = np.zeros(0, np.int32)
@@ -161,9 +171,9 @@ def build_packed_runs(
     return (
         np.concatenate(sym_chunks),
         np.concatenate(qual_chunks),
-        np.asarray(rstarts, np.int64),
-        np.asarray(rspans, np.int32),
-        np.asarray(rbcs, np.int32),
+        np.concatenate(rstarts).astype(np.int64),
+        np.concatenate(rspans),
+        np.concatenate(rbcs),
     )
 
 

@@ -30,7 +30,14 @@ _COMP = np.arange(256, dtype=np.uint8)
 for a, b in zip(b"ACGTacgt", b"TGCATGCA"):
     _COMP[a] = b
 
-_BASE_LUT = np.zeros(256, dtype=np.uint8)
+# read-base mapping: non-ACGT (N, ambiguity codes) -> 4, the same "no-call"
+# class as deletions. NOTE the reference's own read translation garbles such
+# bases into out-of-range ints (sequences.py:666-668 translates only ACGT,
+# then subtracts ord('0')) and would IndexError in its coverage scatter; any
+# defined behaviour is a superset. The reference-GENOME mapping (other -> 0,
+# reference.py:46-68) lives in models/layout.py and is intentionally
+# different.
+_BASE_LUT = np.full(256, 4, dtype=np.uint8)
 for i, b in enumerate(b"ACGT"):
     _BASE_LUT[b] = i
     _BASE_LUT[b + 32] = i
@@ -83,7 +90,14 @@ class PafRecords:
 
 def parse_paf(text: str | bytes, min_len: int = 1, primary_only: bool = True) -> PafRecords:
     """Parse PAF text. Drops records with block length < min_len and, by
-    default, non-primary alignments (boss/paf.py:652-672)."""
+    default, non-primary alignments (boss/paf.py:652-672).
+
+    Fast path: one native call (native/banded_align.cpp::parse_paf_blob)
+    parses the whole blob into columnar arrays with cg:Z tags packed
+    directly to uint32 ops; Python only slices out the name strings."""
+    rec = _parse_paf_native(text, min_len, primary_only)
+    if rec is not None:
+        return rec
     if isinstance(text, bytes):
         text = text.decode()
     cols: list[list] = [[] for _ in range(12)]
@@ -140,6 +154,70 @@ def parse_paf(text: str | bytes, min_len: int = 1, primary_only: bool = True) ->
     )
 
 
+def _parse_paf_native(text: str | bytes, min_len: int, primary_only: bool) -> PafRecords | None:
+    """C fast path; None -> caller falls back to the Python line loop.
+    Byte offsets from C index the decoded string directly, so the blob must
+    be ASCII (PAF is; a non-ASCII name falls back)."""
+    import ctypes
+
+    from ..aligner import native as native_mod
+
+    lib = native_mod._load()
+    if not lib or not hasattr(lib, "parse_paf_blob"):
+        return None
+    if isinstance(text, bytes):
+        try:
+            text = text.decode("ascii")
+        except UnicodeDecodeError:
+            return None
+    elif not text.isascii():
+        return None
+    if not hasattr(lib, "_pafparse_ready"):
+        lib.parse_paf_blob.restype = ctypes.c_int64
+        lib.parse_paf_blob.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib._pafparse_ready = True
+    raw = text.encode()
+    cap = text.count("\n") + 1
+    nums = np.empty((cap, 11), np.int64)
+    names = np.empty((cap, 4), np.int64)
+    flags = np.empty((cap, 2), np.int8)
+    cg_cap = len(raw) // 2 + cap
+    cg_ops = np.empty(cg_cap, np.uint32)
+    cg_bound = np.empty(cap + 1, np.int64)
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    n = lib.parse_paf_blob(
+        raw, np.int64(len(raw)), np.int64(min_len), np.int32(primary_only),
+        c(nums), c(names), c(flags), c(cg_ops), np.int64(cg_cap),
+        c(cg_bound), np.int64(cap),
+    )
+    if n < 0:
+        return None
+    # tolist first: per-element numpy scalar extraction costs ~1 us each
+    rows = names[:n].tolist()
+    qname = np.array([text[r[0] : r[0] + r[1]] for r in rows], object)
+    tname = np.array([text[r[2] : r[2] + r[3]] for r in rows], object)
+    bnd = cg_bound[: n + 1].tolist()
+    cigars: list = [
+        cg_ops[bnd[i] : bnd[i + 1]] if bnd[i + 1] > bnd[i] else None
+        for i in range(n)
+    ]
+    nums = nums[:n]
+    flags = flags[:n]
+    return PafRecords(
+        qname=qname, qlen=nums[:, 0].copy(), qstart=nums[:, 1].copy(),
+        qend=nums[:, 2].copy(), rev=flags[:, 0].copy(), tname=tname,
+        tlen=nums[:, 3].copy(), tstart=nums[:, 4].copy(),
+        tend=nums[:, 5].copy(), nmatch=nums[:, 6].copy(),
+        blocklen=nums[:, 7].copy(), mapq=nums[:, 8].copy(),
+        align_score=nums[:, 9].copy(), s1=nums[:, 10].copy(),
+        primary=flags[:, 1].copy(), cigars=cigars,
+    )
+
+
 def best_per_query(rec: PafRecords) -> dict[str, int]:
     """qname -> row index of its best mapping.
 
@@ -186,7 +264,8 @@ def expand_cigar(cigar, seq_aln: str, qual_aln: str):
     qual = np.full(rep.shape[0], DEL_QUAL, dtype=np.uint8)
     n_read = int(consumes_read.sum())
     sym[consumes_read] = read_sym[:n_read]
-    qual[consumes_read] = read_qual[:n_read] if read_qual.size else DEL_QUAL
+    # no quality string (fasta input) -> fill 40, like the packed C path
+    qual[consumes_read] = read_qual[:n_read] if read_qual.size else 40
     return sym[consumes_target], qual[consumes_target]
 
 

@@ -293,6 +293,194 @@ int64_t expand_cigars_packed(const int8_t* seqs, const int8_t* quals,
 
 }  // extern "C"
 
+namespace {
+
+inline int64_t parse_i64(const char* p, const char* end, const char** out) {
+    int64_t v = 0;
+    bool neg = false;
+    if (p < end && *p == '-') { neg = true; ++p; }
+    while (p < end && *p >= '0' && *p <= '9') v = v * 10 + (*p++ - '0');
+    *out = p;
+    return neg ? -v : v;
+}
+
+}  // namespace
+
+extern "C" {
+
+// One-call PAF parser: the whole text blob -> columnar arrays. Replaces the
+// per-line Python split/int/tag-find loop in io/paf.parse_paf (the second-
+// largest host cost of a PAF-driven simulation batch) and parses cg:Z tags
+// straight into packed (len<<4|op) uint32 ops, so no later string parse.
+//
+// nums: int64 [cap, 11] rows (qlen qstart qend tlen tstart tend nmatch
+// blocklen mapq AS s1); names: int64 [cap, 4] (qname_off qname_len
+// tname_off tname_len, byte offsets into text); flags: int8 [cap, 2]
+// (rev, primary); cg_bound: int64 [cap+1] op-bounds into cg_ops (equal
+// bounds = record had no cg tag). Records with blocklen < min_len or
+// (primary_only && tp:A != P) are dropped, mirroring boss/paf.py:652-672.
+// Returns the record count, or -1 if a capacity would be exceeded.
+int64_t parse_paf_blob(const char* text, int64_t tlen,
+                       int64_t min_len, int32_t primary_only,
+                       int64_t* nums, int64_t* names, int8_t* flags,
+                       uint32_t* cg_ops, int64_t cg_cap, int64_t* cg_bound,
+                       int64_t cap) {
+    static const int8_t opcode[256] = {
+        /* zero-init; set below via switch in code instead */
+    };
+    (void)opcode;
+    int64_t n = 0;
+    int64_t cg_pos = 0;
+    cg_bound[0] = 0;
+    const char* p = text;
+    const char* end = text + tlen;
+    while (p < end) {
+        const char* line_end = (const char*)memchr(p, '\n', end - p);
+        if (!line_end) line_end = end;
+        // split first 12 fields
+        const char* f[13];
+        int nf = 0;
+        const char* q = p;
+        f[nf++] = q;
+        while (q < line_end && nf < 13) {
+            if (*q == '\t') f[nf++] = q + 1;
+            ++q;
+        }
+        if (nf >= 12 && n < cap) {
+            const char* e;
+            int64_t* row = nums + n * 11;
+            const char* cur;
+            // field ends are the next field start - 1, or line_end
+            auto fend = [&](int i) {
+                return i + 1 < nf ? f[i + 1] - 1 : line_end;
+            };
+            names[n * 4 + 0] = f[0] - text;
+            names[n * 4 + 1] = fend(0) - f[0];
+            row[0] = parse_i64(f[1], fend(1), &e);
+            row[1] = parse_i64(f[2], fend(2), &e);
+            row[2] = parse_i64(f[3], fend(3), &e);
+            flags[n * 2 + 0] = (*f[4] == '+') ? 0 : 1;
+            names[n * 4 + 2] = f[5] - text;
+            names[n * 4 + 3] = fend(5) - f[5];
+            row[3] = parse_i64(f[6], fend(6), &e);
+            row[4] = parse_i64(f[7], fend(7), &e);
+            row[5] = parse_i64(f[8], fend(8), &e);
+            row[6] = parse_i64(f[9], fend(9), &e);
+            row[7] = parse_i64(f[10], fend(10), &e);
+            row[8] = parse_i64(f[11], fend(11), &e);
+            row[9] = 0;   // AS:i
+            row[10] = 0;  // s1:i
+            int8_t prim = 0;
+            bool cg_ok = true;
+            // walk tag fields (field 12 onward): each is key:type:value
+            cur = nf > 12 ? f[12] : line_end;
+            while (cur < line_end) {
+                const char* tab = (const char*)memchr(cur, '\t', line_end - cur);
+                const char* vend = tab ? tab : line_end;
+                if (vend - cur >= 5) {
+                    if (memcmp(cur, "tp:A:", 5) == 0) {
+                        prim = cur[5] == 'P';
+                    } else if (memcmp(cur, "AS:i:", 5) == 0) {
+                        row[9] = parse_i64(cur + 5, vend, &e);
+                    } else if (memcmp(cur, "s1:i:", 5) == 0) {
+                        row[10] = parse_i64(cur + 5, vend, &e);
+                    } else if (memcmp(cur, "cg:Z:", 5) == 0) {
+                        const char* c = cur + 5;
+                        while (c < vend) {
+                            const char* after;
+                            int64_t l = parse_i64(c, vend, &after);
+                            if (after >= vend || after == c) { cg_ok = false; break; }
+                            uint32_t op;
+                            switch (*after) {
+                                case 'M': case '=': case 'X': op = 0; break;
+                                case 'I': case 'S': op = 1; break;
+                                case 'D': case 'N': op = 2; break;
+                                case 'H': case 'P': case 'B': op = 1; break;
+                                default: op = 1; break;
+                            }
+                            if (cg_pos >= cg_cap) return -1;
+                            cg_ops[cg_pos++] = ((uint32_t)l << 4) | op;
+                            c = after + 1;
+                        }
+                    }
+                }
+                cur = tab ? tab + 1 : line_end;
+            }
+            if (!cg_ok) cg_pos = cg_bound[n];  // malformed tag -> no cigar
+            flags[n * 2 + 1] = prim;
+            if (row[7] >= min_len && (!primary_only || prim)) {
+                cg_bound[n + 1] = cg_pos;
+                ++n;
+            } else {
+                cg_pos = cg_bound[n];  // roll back this record's ops
+            }
+        } else if (nf >= 12) {
+            return -1;  // cap exceeded
+        }
+        p = line_end + 1;
+    }
+    return n;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Strand-corrected (encode + revcomp + slice) alignment windows for a batch
+// of reads, feeding expand_cigars_packed. Replaces the per-read Python loop
+// in io/coo_native.build_packed_runs (~0.45 s per 4000-read batch: per-read
+// np.frombuffer encode, reverse-complement copies and slicing).
+//
+// seq_cat / qual_cat: raw ASCII bytes of all read sequences / quality
+// strings concatenated, with seq_off/qual_off [n+1] record boundaries. A
+// zero-length quality record means "no quals" -> fill 40 (mappy parity).
+// qs/qe are ORIGINAL query coordinates, ql the full read length, rev the
+// strand flag; for rev reads the emitted window is the reverse complement
+// of seq[qe-1 .. qs] (equivalent to revcomp-then-slice at [ql-qe, ql-qs)).
+// Emits int8 codes (A,C,G,T->0..3, other->4) and clipped int8 quals.
+// Returns total bases written, or -1 if cap would be exceeded.
+int64_t prep_read_windows(const char* seq_cat, const int64_t* seq_off,
+                          const char* qual_cat, const int64_t* qual_off,
+                          const int64_t* qs, const int64_t* qe,
+                          const uint8_t* rev, int32_t n,
+                          int8_t* out_sym, int8_t* out_qual, int64_t cap) {
+    int8_t enc[256];
+    for (int i = 0; i < 256; ++i) enc[i] = 4;
+    enc[(unsigned char)'A'] = 0; enc[(unsigned char)'a'] = 0;
+    enc[(unsigned char)'C'] = 1; enc[(unsigned char)'c'] = 1;
+    enc[(unsigned char)'G'] = 2; enc[(unsigned char)'g'] = 2;
+    enc[(unsigned char)'T'] = 3; enc[(unsigned char)'t'] = 3;
+    static const int8_t rc[5] = {3, 2, 1, 0, 4};
+    int64_t k = 0;
+    for (int32_t r = 0; r < n; ++r) {
+        const char* s = seq_cat + seq_off[r];
+        const char* q = qual_cat + qual_off[r];
+        const bool has_q = qual_off[r + 1] > qual_off[r];
+        const int64_t w = qe[r] - qs[r];
+        if (w <= 0) continue;
+        if (k + w > cap) return -1;
+        if (rev[r]) {
+            for (int64_t i = 0; i < w; ++i) {
+                const int64_t o = qe[r] - 1 - i;
+                out_sym[k + i] = rc[enc[(unsigned char)s[o]]];
+                int32_t qv = has_q ? (int32_t)(unsigned char)q[o] - 33 : 40;
+                out_qual[k + i] = (int8_t)(qv < 0 ? 0 : (qv > 127 ? 127 : qv));
+            }
+        } else {
+            for (int64_t i = 0; i < w; ++i) {
+                const int64_t o = qs[r] + i;
+                out_sym[k + i] = enc[(unsigned char)s[o]];
+                int32_t qv = has_q ? (int32_t)(unsigned char)q[o] - 33 : 40;
+                out_qual[k + i] = (int8_t)(qv < 0 ? 0 : (qv > 127 ? 127 : qv));
+            }
+        }
+        k += w;
+    }
+    return k;
+}
+
+}  // extern "C"
+
 extern "C" {
 
 // Split per-base observations into reference-match runs + explicit non-match

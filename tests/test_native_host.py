@@ -1,0 +1,145 @@
+"""Parity of the native host-path kernels against their Python fallbacks:
+parse_paf_blob (one-call PAF -> columnar + packed cigars) and
+prep_read_windows (encode + revcomp + slice windows feeding the CIGAR
+expansion). The fallbacks are the executable spec; the C paths must be
+bit-identical on every field."""
+import numpy as np
+import pytest
+
+import bossruns_tpu.io.paf as pafmod
+from bossruns_tpu.aligner.native import _load
+from bossruns_tpu.io.coo_native import (
+    _build_packed_runs_numpy,
+    _pack_cigar,
+    build_packed_runs,
+)
+from bossruns_tpu.io.paf import PafRecords, _parse_paf_native, parse_paf
+from bossruns_tpu.models.layout import build_layout
+
+pytestmark = pytest.mark.skipif(_load() in (None, False), reason="no native lib")
+
+PAF_FIELDS = (
+    "qname qlen qstart qend rev tname tlen tstart tend nmatch blocklen "
+    "mapq align_score s1 primary"
+).split()
+
+
+PAF_TEXT = (
+    # primary with cigar + AS/s1 tags
+    "r1\t1000\t10\t990\t+\tcX\t5000\t100\t1080\t900\t980\t60\t"
+    "tp:A:P\tAS:i:850\ts1:i:700\tcg:Z:500M10D20I460M\n"
+    # reverse strand, no AS tag
+    "r2\t800\t0\t800\t-\tcY\t4000\t200\t1000\t780\t800\t50\ttp:A:P\tcg:Z:800M\n"
+    # secondary (dropped under primary_only)
+    "r2\t800\t0\t800\t+\tcX\t5000\t0\t800\t700\t800\t0\ttp:A:S\tcg:Z:800M\n"
+    # short block (dropped when min_len > 60)
+    "r3\t60\t0\t60\t+\tcY\t4000\t0\t60\t55\t60\t30\ttp:A:P\tcg:Z:60M\n"
+    # no cigar tag at all
+    "r4\t500\t5\t495\t+\tcX\t5000\t50\t540\t480\t490\t40\ttp:A:P\tAS:i:400\n"
+    # malformed short line is skipped
+    "garbage\tline\n"
+)
+
+
+def _python_parse(text, min_len=1, primary_only=True) -> PafRecords:
+    orig = pafmod._parse_paf_native
+    pafmod._parse_paf_native = lambda *a, **k: None
+    try:
+        return parse_paf(text, min_len, primary_only)
+    finally:
+        pafmod._parse_paf_native = orig
+
+
+def _assert_same(a: PafRecords, b: PafRecords):
+    assert len(a) == len(b)
+    for f in PAF_FIELDS:
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f), err_msg=f)
+    for i in range(len(a)):
+        ca, cb = a.cigars[i], b.cigars[i]
+        if cb is None:
+            assert ca is None
+        else:
+            np.testing.assert_array_equal(
+                ca, cb if isinstance(cb, np.ndarray) else _pack_cigar(cb),
+                err_msg=f"cigar {i}",
+            )
+
+
+@pytest.mark.parametrize("min_len,primary_only", [(1, True), (1, False), (100, True)])
+def test_parse_paf_native_matches_python(min_len, primary_only):
+    a = _parse_paf_native(PAF_TEXT, min_len, primary_only)
+    assert a is not None
+    _assert_same(a, _python_parse(PAF_TEXT, min_len, primary_only))
+
+
+def test_parse_paf_native_empty_and_nonascii():
+    assert len(_parse_paf_native("", 1, True)) == 0
+    assert _parse_paf_native("ré\t1\t0\t1\t+\tc\t2\t0\t1\t1\t1\t0\n", 1, True) is None
+
+
+def test_parse_paf_packed_cigar_semantics():
+    rec = _parse_paf_native(PAF_TEXT, 1, True)
+    cig = rec.cigars[0]
+    assert cig.dtype == np.uint32
+    lens, ops = cig >> 4, cig & 0xF
+    np.testing.assert_array_equal(lens, [500, 10, 20, 460])
+    np.testing.assert_array_equal(ops, [0, 2, 1, 0])  # M D I M
+
+
+def _window_case(rng):
+    contigs = {
+        "cA": rng.integers(0, 4, 60_000).astype(np.uint8),
+        "cB": rng.integers(0, 4, 40_000).astype(np.uint8),
+    }
+    layout = build_layout(contigs, min_len=1_000)
+    n = 40
+    qlen = rng.integers(300, 1200, n)
+    qs = rng.integers(0, 50, n)
+    qe = qlen - rng.integers(0, 50, n)
+    rev = rng.integers(0, 2, n).astype(np.int8)
+    span = qe - qs  # all-M cigars keep window == target span
+    tname = np.array([("cA", "cB")[i % 2] for i in range(n)], object)
+    tstart = rng.integers(0, 30_000, n)
+    seqs, quals = {}, {}
+    rids = np.array([f"r{i}" for i in range(n)], object)
+    bases = "ACGTN"
+    for i in range(n):
+        seqs[rids[i]] = "".join(
+            bases[j] for j in rng.integers(0, 5, qlen[i])
+        )
+        if i % 3 != 0:  # every third read has no quality string
+            quals[rids[i]] = "".join(
+                chr(33 + q) for q in rng.integers(0, 60, qlen[i])
+            )
+    rec = PafRecords(
+        qname=rids, qlen=qlen.astype(np.int64), qstart=qs.astype(np.int64),
+        qend=qe.astype(np.int64), rev=rev,
+        tname=tname, tlen=np.full(n, 60_000, np.int64),
+        tstart=tstart.astype(np.int64), tend=(tstart + span).astype(np.int64),
+        nmatch=span.astype(np.int64), blocklen=span.astype(np.int64),
+        mapq=np.full(n, 60, np.int64), align_score=np.zeros(n, np.int64),
+        s1=np.zeros(n, np.int64), primary=np.ones(n, np.int8),
+        cigars=[np.array([(int(w) << 4) | 0], np.uint32) for w in span],
+    )
+    return layout, [(rec, list(range(n)), seqs, quals)]
+
+
+def test_build_packed_runs_native_matches_numpy(rng):
+    layout, record_sets = _window_case(rng)
+    a = build_packed_runs(layout, record_sets, None)
+    b = _build_packed_runs_numpy(layout, record_sets, None)
+    for x, y, name in zip(a, b, ["sym", "qual", "rstart", "rspan", "rbc"]):
+        np.testing.assert_array_equal(
+            x, np.asarray(y, x.dtype), err_msg=name
+        )
+    assert a[0].shape[0] == int(a[3].sum())
+
+
+def test_build_packed_runs_skips_unknown_contigs(rng):
+    layout, record_sets = _window_case(rng)
+    rec, rows, seqs, quals = record_sets[0]
+    rec.tname[5] = "not_a_contig"
+    a = build_packed_runs(layout, [(rec, rows, seqs, quals)], None)
+    b = _build_packed_runs_numpy(layout, [(rec, rows, seqs, quals)], None)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, np.asarray(y, x.dtype))
