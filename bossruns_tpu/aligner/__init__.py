@@ -24,7 +24,7 @@ import numpy as np
 from ..io.paf import PafRecords
 from ..models.layout import GenomeLayout
 from . import native
-from .index import K, MinimizerIndex, W, build_index
+from .index import K, MinimizerIndex, W, build_index, load_or_build_index
 from .seed import DeviceIndex, seed_and_vote
 
 logger = logging.getLogger("boss_tpu")
@@ -53,7 +53,10 @@ class TpuAligner:
         max_divergence: float = 0.35,
         mu: int = 400,
         threads: int = 8,
+        source: str | None = None,
     ):
+        """source: path of the fasta the layout came from — enables the
+        on-disk index cache (the reference's .mmi analogue)."""
         self.layout = layout
         self.mu = mu
         self.min_votes = min_votes
@@ -61,8 +64,8 @@ class TpuAligner:
         self.threads = threads
         self.target = np.where(layout.site_valid(), layout.seq_int, 4).astype(np.int8)
         logger.info("building minimizer index")
-        self.index: MinimizerIndex = build_index(
-            layout.seq_int, layout.site_valid(), k=k, w=w, max_occ=max_occ
+        self.index: MinimizerIndex = load_or_build_index(
+            layout.seq_int, layout.site_valid(), source, k=k, w=w, max_occ=max_occ
         )
         self.dev_index = DeviceIndex(self.index)
         logger.info(f"index: {self.index.n_minimizers} minimizers, "

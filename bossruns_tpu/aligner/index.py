@@ -80,17 +80,36 @@ class MinimizerIndex:
         return int(self.positions.shape[0])
 
 
-def build_index(
-    seq_int: np.ndarray,
-    site_valid: np.ndarray,
-    k: int = K,
-    w: int = W,
-    max_occ: int = MAX_OCC,
-) -> MinimizerIndex:
-    codes = np.where(site_valid, seq_int, 4).astype(np.int8)
+def _kmer_scan_arrays(codes: np.ndarray, k: int):
+    """(canonical, strand, h, ok) per k-mer window. One native pass when the
+    library is present (native/banded_align.cpp::kmer_scan); the NumPy pipeline
+    below is the executable spec (pinned equal in tests/test_native_host.py)."""
+    from . import native as native_mod
+
+    n = codes.shape[0] - k + 1
+    lib = native_mod._load()
+    if lib and hasattr(lib, "kmer_scan") and n > 0:
+        import ctypes
+
+        if not hasattr(lib, "_kscan_ready"):
+            lib.kmer_scan.restype = None
+            lib.kmer_scan.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib._kscan_ready = True
+        canonical = np.empty(n, np.int64)
+        strand = np.empty(n, np.int8)
+        h = np.empty(n, np.int32)
+        ok8 = np.empty(n, np.int8)
+        c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        lib.kmer_scan(
+            c(np.ascontiguousarray(codes, np.int8)), np.int64(codes.shape[0]),
+            np.int32(k), c(canonical), c(strand), c(h), c(ok8),
+        )
+        return canonical, strand, h, ok8.astype(bool)
+
     fwd, rc = kmer_codes(codes, k)
-    n = fwd.shape[0]
-    # validity: all k bases real
     ok = np.ones(n, dtype=bool)
     bad = np.flatnonzero(codes >= 4)
     for off in range(k):
@@ -105,6 +124,64 @@ def build_index(
         selection_hash(canonical.astype(np.uint32) ^ (canonical >> 15).astype(np.uint32)),
         INVALID_HASH,
     )
+    return canonical, strand, h, ok
+
+
+def load_or_build_index(
+    seq_int: np.ndarray,
+    site_valid: np.ndarray,
+    source: str | None,
+    k: int = K,
+    w: int = W,
+    max_occ: int = MAX_OCC,
+) -> MinimizerIndex:
+    """build_index with an on-disk cache next to the source fasta — the
+    reference persists its .mmi the same way (reference.py:295-299). The
+    cache invalidates on source mtime/size change or different parameters;
+    writes are atomic (per-pid tmp + rename) so concurrent multi-host
+    processes can't corrupt each other."""
+    if source is None:
+        return build_index(seq_int, site_valid, k=k, w=w, max_occ=max_occ)
+    from pathlib import Path
+
+    from ..io.sampler import _atomic_np_write, _cache_fresh, _stamp_cache
+
+    src = Path(source)
+    cache = Path(f"{source}.minidx.npz")
+    if _cache_fresh(src, cache):
+        try:
+            with np.load(cache) as z:
+                if (int(z["k"]), int(z["w"]), int(z["max_occ"])) == (k, w, max_occ):
+                    return MinimizerIndex(
+                        keys=z["keys"], offsets=z["offsets"],
+                        positions=z["positions"], strands=z["strands"], k=k, w=w,
+                    )
+        except Exception:  # corrupt/foreign cache -> rebuild
+            pass
+    idx = build_index(seq_int, site_valid, k=k, w=w, max_occ=max_occ)
+    try:
+        _atomic_np_write(
+            cache,
+            lambda fh: np.savez(
+                fh, keys=idx.keys, offsets=idx.offsets, positions=idx.positions,
+                strands=idx.strands, k=k, w=w, max_occ=max_occ,
+            ),
+        )
+        _stamp_cache(src, cache)
+    except OSError:  # read-only source dir: cache is best-effort
+        pass
+    return idx
+
+
+def build_index(
+    seq_int: np.ndarray,
+    site_valid: np.ndarray,
+    k: int = K,
+    w: int = W,
+    max_occ: int = MAX_OCC,
+) -> MinimizerIndex:
+    codes = np.where(site_valid, seq_int, 4).astype(np.int8)
+    canonical, strand, h, ok = _kmer_scan_arrays(codes, k)
     sel = minimizer_mask(h, w) & ok
     pos = np.flatnonzero(sel)
     keys_all = canonical[pos].astype(np.int64)

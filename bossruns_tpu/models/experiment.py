@@ -83,7 +83,7 @@ class BossRuns:
         if mapper is None:
             from ..aligner import TpuAligner
 
-            mapper = TpuAligner(self.layout)
+            mapper = TpuAligner(self.layout, source=args.general.ref)
         self.mapper = mapper
         # live checkpoint/resume (an addition over the reference, whose live
         # process loses all posteriors on a crash — SURVEY.md §5): device

@@ -180,7 +180,7 @@ class BossRunsSim:
             # noisy 400 bp prefixes drive the decisions: the dense k13/w5
             # profile (the reference's own sim-mapper non-defaults,
             # boss/mapper.py:47-48) keeps short/noisy reads mappable
-            self.aligner = TpuAligner(self.layout, k=13, w=5, min_votes=3)
+            self.aligner = TpuAligner(self.layout, k=13, w=5, min_votes=3, source=ref)
         self.read_cache = ReadCache(batchsize, dumptime, out_base=out_base)
         from .experiment import AbundanceTracker
 

@@ -293,6 +293,51 @@ int64_t expand_cigars_packed(const int8_t* seqs, const int8_t* quals,
 
 }  // extern "C"
 
+extern "C" {
+
+// One-pass rolling k-mer scan for minimizer index construction
+// (bossruns_tpu/aligner/index.py::build_index). Emits, per k-mer window
+// start, the canonical 2-bit-packed code, the strand flag (reverse
+// complement is canonical), the minimizer selection hash (31-bit triple32
+// mix of canonical ^ canonical>>15 — MUST match index.selection_hash /
+// seed._hash31), and an ok flag (all k bases valid && not palindromic).
+// Replaces 30+ genome-length NumPy passes with one; at human scale the
+// index build drops minutes.
+void kmer_scan(const int8_t* codes, int64_t n_codes, int32_t k,
+               int64_t* canonical, int8_t* strand, int32_t* hash_out,
+               int8_t* ok_out) {
+    const int64_t n = n_codes - k + 1;
+    if (n <= 0) return;
+    const int64_t mask = (k >= 32) ? ~0LL : ((1LL << (2 * k)) - 1);
+    const int rc_shift = 2 * (k - 1);
+    int64_t fwd = 0, rc = 0;
+    int64_t since_bad = 0;  // valid bases seen since the last invalid one
+    for (int64_t i = 0; i < n_codes; ++i) {
+        const int64_t b = codes[i] & 3;
+        fwd = ((fwd << 2) | b) & mask;
+        rc = (rc >> 2) | ((3 - b) << rc_shift);
+        since_bad = (codes[i] >= 4) ? 0 : since_bad + 1;
+        const int64_t p = i - k + 1;  // window start this k-mer belongs to
+        if (p < 0) continue;
+        const bool valid = since_bad >= k && fwd != rc;
+        const int64_t can = fwd < rc ? fwd : rc;
+        canonical[p] = can;
+        strand[p] = (int8_t)(rc < fwd);
+        ok_out[p] = (int8_t)valid;
+        if (valid) {
+            uint32_t h = (uint32_t)can ^ (uint32_t)(can >> 15);
+            h ^= h >> 16; h *= 0x45D9F3Bu;
+            h ^= h >> 16; h *= 0x45D9F3Bu;
+            h ^= h >> 16;
+            hash_out[p] = (int32_t)(h >> 1);
+        } else {
+            hash_out[p] = 0x7FFFFFFF;
+        }
+    }
+}
+
+}  // extern "C"
+
 namespace {
 
 inline int64_t parse_i64(const char* p, const char* end, const char** out) {

@@ -59,7 +59,7 @@ def main() -> int:
     print(f"  {offs.shape[0]} reads")
 
     layout = build_layout(load_reference_contigs(args.ref))
-    aligner = TpuAligner(layout)
+    aligner = TpuAligner(layout, source=args.ref)
     full_path = out / "full.paf"
     trunc_path = out / "trunc.paf"
     n = 0

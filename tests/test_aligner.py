@@ -238,3 +238,28 @@ def test_overhanging_reads_near_contig_ends(rng):
     if "overhang_end" in got:
         i = got["overhang_end"]
         assert rec.tend[i] <= 30_000  # never walks past the contig
+
+
+def test_index_disk_cache_roundtrip(tmp_path, rng):
+    """load_or_build_index persists next to the fasta (the reference's .mmi
+    analogue, reference.py:295-299) and invalidates on param change."""
+    from bossruns_tpu.aligner.index import load_or_build_index
+
+    fasta = tmp_path / "ref.fa"
+    genome = random_genome(rng, {"c1": 30_000})["c1"]
+    fasta.write_text(f">c1\n{genome}\n")
+    lay = build_layout({"c1": genome}, min_len=1_000)
+    a = load_or_build_index(lay.seq_int, lay.site_valid(), str(fasta))
+    cache = tmp_path / "ref.fa.minidx.npz"
+    assert cache.exists()
+    b = load_or_build_index(lay.seq_int, lay.site_valid(), str(fasta))
+    np.testing.assert_array_equal(a.keys, b.keys)
+    np.testing.assert_array_equal(a.positions, b.positions)
+    # different params must not reuse the cached index
+    c = load_or_build_index(lay.seq_int, lay.site_valid(), str(fasta), k=13, w=5)
+    assert c.k == 13 and (len(c.keys) != len(a.keys) or not np.array_equal(c.keys, a.keys))
+    # source change invalidates
+    fasta.write_text(f">c1\n{random_genome(rng, {'c1': 30_000})['c1']}\n")
+    lay2 = build_layout({"c1": fasta.read_text().splitlines()[1]}, min_len=1_000)
+    d = load_or_build_index(lay2.seq_int, lay2.site_valid(), str(fasta))
+    assert not np.array_equal(d.keys, a.keys) or not np.array_equal(d.positions, a.positions)

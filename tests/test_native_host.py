@@ -135,6 +135,44 @@ def test_build_packed_runs_native_matches_numpy(rng):
     assert a[0].shape[0] == int(a[3].sum())
 
 
+@pytest.mark.parametrize("k", [13, 15])
+def test_kmer_scan_native_matches_numpy(rng, k):
+    import bossruns_tpu.aligner.native as native_mod
+    from bossruns_tpu.aligner import index as ix
+
+    codes = rng.integers(0, 4, 100_000).astype(np.int8)
+    codes[rng.integers(0, codes.shape[0], 400)] = 4  # invalid patches
+    a = ix._kmer_scan_arrays(codes, k)
+    saved = native_mod._lib
+    native_mod._lib = False  # force the NumPy spec path
+    try:
+        b = ix._kmer_scan_arrays(codes, k)
+    finally:
+        native_mod._lib = saved
+    for x, y, name in zip(a, b, ["canonical", "strand", "h", "ok"]):
+        np.testing.assert_array_equal(x, np.asarray(y, x.dtype), err_msg=name)
+
+
+def test_build_index_native_matches_numpy(rng):
+    import bossruns_tpu.aligner.native as native_mod
+    from bossruns_tpu.aligner import index as ix
+
+    codes = rng.integers(0, 4, 80_000).astype(np.int8)
+    valid = np.ones(codes.shape[0], bool)
+    valid[5000:5200] = False
+    a = ix.build_index(codes.astype(np.uint8), valid)
+    saved = native_mod._lib
+    native_mod._lib = False
+    try:
+        b = ix.build_index(codes.astype(np.uint8), valid)
+    finally:
+        native_mod._lib = saved
+    np.testing.assert_array_equal(a.keys, b.keys)
+    np.testing.assert_array_equal(a.offsets, b.offsets)
+    np.testing.assert_array_equal(a.positions, b.positions)
+    np.testing.assert_array_equal(a.strands, b.strands)
+
+
 def test_build_packed_runs_skips_unknown_contigs(rng):
     layout, record_sets = _window_case(rng)
     rec, rows, seqs, quals = record_sets[0]
