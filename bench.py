@@ -211,7 +211,9 @@ def main():
         oracle.full_update(eng, st_np, batch_np, CCL, TIME_COST, fast_scores=True)
         cpu_ms = min(cpu_ms, (time.perf_counter() - t0) * 1000.0)
 
-    total_bases = int(batch_np["mr_len"].sum()) + int(batch_np["ex_w"].sum())
+    total_bases = int(batch_np["mr_len"].sum(dtype=np.int64)) + int(
+        (batch_np["ex_g"] != 0xFFFFFFFF).sum()
+    )
     print(
         json.dumps(
             {

@@ -20,10 +20,16 @@ MIN_PAD = 1 << 12
 
 
 def _pad_len(n: int) -> int:
+    # pow2 up to 64k, then 64k granularity: pow2 all the way wastes up to
+    # ~50% of the batch upload (553k rows -> a 1M pad) and the upload is the
+    # simulation's device-phase bottleneck over a tunneled chip. Drivers
+    # still pass monotone floors, so a run sees few distinct shapes.
     p = MIN_PAD
-    while p < n:
+    while p < n and p < (1 << 16):
         p *= 2
-    return p
+    if n <= p:
+        return p
+    return -(-n // (1 << 16)) * (1 << 16)
 
 
 def build_read_start_rows(layout: GenomeLayout, rec: PafRecords, rows: list[int],

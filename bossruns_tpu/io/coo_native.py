@@ -211,25 +211,31 @@ def _build_packed_runs_numpy(layout, record_sets, barcodes):
 def split_runs(layout, sym, qual, rstart, rspan, rbc, qt: int = 0, len_b: int = 5):
     """Split per-base observations into match runs + explicit COO.
 
-    Returns (mr_bc int32, mr_g uint32, mr_len int32, ex_bcsym int32,
+    Returns (mr_bc uint8, mr_g uint32, mr_len uint16, ex_bcsym uint16,
     ex_g uint32) UNPADDED (see models.runs.ReadBatch). Positions are carried
     as (barcode, uint32 position) pairs rather than flattened bc*G+g int32
     indices so the host format supports genomes up to 2^32 sites (~4.3 Gb;
     a human genome is 3.1e9); the engines flatten per shard on device where
-    the local domain fits int32. C fast path with a NumPy fallback.
+    the local domain fits int32. Dtypes are the narrowest that carry the
+    ranges (<=256 barcodes; runs longer than 65535 are emitted as chunks):
+    over a tunneled chip the batch upload runs at ~60 MB/s once any D2H has
+    happened, so bytes-on-the-wire IS the simulation's device-phase cost.
+    C fast path with a NumPy fallback.
     """
     G = layout.G_pad
     ref = layout.seq_int.astype(np.int8)
     m = sym.shape[0]
     if m == 0:
-        z = np.zeros(0, np.int32)
-        zu = np.zeros(0, np.uint32)
-        return z, zu, z.copy(), z.copy(), zu.copy()
+        return (np.zeros(0, np.uint8), np.zeros(0, np.uint32),
+                np.zeros(0, np.uint16), np.zeros(0, np.uint16),
+                np.zeros(0, np.uint32))
+    if rbc.size and int(rbc.max()) > 255:
+        raise ValueError("ReadBatch carries barcodes as uint8 (max 256 rows)")
     lib = native_mod._load()
-    if lib is not None and hasattr(lib, "split_match_runs_wide"):
+    if lib is not None and hasattr(lib, "split_match_runs_wide_v2"):
         if not hasattr(lib, "_split_ready"):
-            lib.split_match_runs_wide.restype = ctypes.c_int64
-            lib.split_match_runs_wide.argtypes = [
+            lib.split_match_runs_wide_v2.restype = ctypes.c_int64
+            lib.split_match_runs_wide_v2.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
@@ -238,15 +244,15 @@ def split_runs(layout, sym, qual, rstart, rspan, rbc, qt: int = 0, len_b: int = 
             ]
             lib._split_ready = True
         cap = m + 1
-        mr_bc = np.empty(cap, np.int32)
+        mr_bc = np.empty(cap, np.uint8)
         mr_g = np.empty(cap, np.uint32)
-        mr_len = np.empty(cap, np.int32)
-        ex_bcsym = np.empty(cap, np.int32)
+        mr_len = np.empty(cap, np.uint16)
+        ex_bcsym = np.empty(cap, np.uint16)
         ex_g = np.empty(cap, np.uint32)
         c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
         sym8 = np.ascontiguousarray(sym, np.int8)
         qual8 = np.ascontiguousarray(qual, np.int8)
-        packed = lib.split_match_runs_wide(
+        packed = lib.split_match_runs_wide_v2(
             c(sym8), c(qual8), m,
             c(np.ascontiguousarray(rstart, np.int64)),
             c(np.ascontiguousarray(rspan, np.int32)),
@@ -279,38 +285,52 @@ def split_runs(layout, sym, qual, rstart, rspan, rbc, qt: int = 0, len_b: int = 
     cont[bnd[bnd >= 0]] = False
     starts = np.flatnonzero(is_match & ~np.concatenate([[False], cont]))
     ends = np.flatnonzero(is_match & ~np.concatenate([cont, [False]]))
-    mr_bc = bc[starts].astype(np.int32)
-    mr_g = pos[starts].astype(np.uint32)
-    mr_len = (ends - starts + 1).astype(np.int32)
+    run_bc, run_g = bc[starts], pos[starts]
+    run_len = ends - starts + 1
+    if run_len.size and int(run_len.max()) > 65535:
+        # chunk runs beyond the uint16 length cap (matches the C kernel)
+        nch = -(-run_len // 65535)
+        row = np.repeat(np.arange(run_len.size), nch)
+        k = np.arange(row.size) - np.repeat(np.cumsum(nch) - nch, nch)
+        run_bc = run_bc[row]
+        run_g = run_g[row] + k * 65535
+        run_len = np.minimum(run_len[row] - k * 65535, 65535)
+    mr_bc = run_bc.astype(np.uint8)
+    mr_g = run_g.astype(np.uint32)
+    mr_len = run_len.astype(np.uint16)
     expl = valid & ~is_match
-    ex_bcsym = (bc[expl] * 5 + sym[expl]).astype(np.int32)
+    ex_bcsym = (bc[expl] * 5 + sym[expl]).astype(np.uint16)
     ex_g = pos[expl].astype(np.uint32)
     return mr_bc, mr_g, mr_len, ex_bcsym, ex_g
+
+
+EX_PAD = np.uint32(0xFFFFFFFF)
+"""Sentinel ex_g value marking padding rows: it flattens to a negative /
+out-of-shard scatter index that the device drops, so no separate weight
+array rides the host->device transfer (models.runs.ReadBatch)."""
 
 
 def pad_split(split, floors=(0, 0)):
     """Pad split_runs output into the ReadBatch array fields.
 
-    Returns a dict with mr_bc/mr_g/mr_len/ex_bcsym/ex_g/ex_w padded to
-    _pad_len (pow2 with hysteresis) and at least ``floors`` — shared by
-    pack_batch, the benches and the engine tests so every producer of a
-    ReadBatch pads identically (each distinct shape recompiles the step).
+    Returns a dict with mr_bc/mr_g/mr_len/ex_bcsym/ex_g padded to _pad_len
+    and at least ``floors`` — shared by pack_batch, the benches and the
+    engine tests so every producer of a ReadBatch pads identically (each
+    distinct shape recompiles the step). Padding: mr_len 0, ex_g EX_PAD.
     """
     mr_bc, mr_g, mr_len, ex_bcsym, ex_g = split
     rm = max(_pad_len(mr_bc.shape[0]), floors[0], 4)
     me = max(_pad_len(ex_g.shape[0]), floors[1], 4)
     out = dict(
-        mr_bc=np.zeros(rm, np.int32), mr_g=np.zeros(rm, np.uint32),
-        mr_len=np.zeros(rm, np.int32),  # len 0 = padding
-        ex_bcsym=np.zeros(me, np.int32), ex_g=np.zeros(me, np.uint32),
-        ex_w=np.zeros(me, np.int8),     # weight 0 = padding
+        mr_bc=np.zeros(rm, np.uint8), mr_g=np.zeros(rm, np.uint32),
+        mr_len=np.zeros(rm, np.uint16),  # len 0 = padding
+        ex_bcsym=np.zeros(me, np.uint16), ex_g=np.full(me, EX_PAD, np.uint32),
     )
     out["mr_bc"][: mr_bc.shape[0]] = mr_bc
     out["mr_g"][: mr_g.shape[0]] = mr_g
     out["mr_len"][: mr_len.shape[0]] = mr_len
     out["ex_bcsym"][: ex_bcsym.shape[0]] = ex_bcsym
     out["ex_g"][: ex_g.shape[0]] = ex_g
-    out["ex_w"][: ex_g.shape[0]] = 1
     return out
 
 

@@ -62,22 +62,27 @@ class ReadBatch(NamedTuple):
     dominant scatter (the per-base form cost ~180 ms of a ~230 ms step at
     4000-read batches), and ~10x less host->device transfer again. Quality
     masking (qual < qt) and the 4-symbol model's deletion drop are applied
-    host-side (io/coo_native.py + native/split_match_runs_wide). Padding:
-    match runs carry mr_len 0; explicit entries carry ex_w 0.
+    host-side (io/coo_native.py + native/split_match_runs_wide_v2). Padding:
+    match runs carry mr_len 0; explicit entries carry ex_g = 0xFFFFFFFF
+    (io.coo_native.EX_PAD), which flattens to a dropped scatter index — no
+    separate weight array rides the transfer.
 
     Positions are (barcode, uint32 position) pairs, NOT flattened bc*G+g
     indices: uint32 carries genomes to 2^32 sites (human = 3.1e9), and each
     engine flattens into ITS OWN scatter domain on device — global int32 for
     the single-chip engine (assert in __init__), shard-local int32 for the
-    sharded engine. The batch stays replicated either way.
+    sharded engine. The batch stays replicated either way. Dtypes are the
+    narrowest that carry the ranges (uint8 barcode, uint16 run length with
+    host-side chunking of longer runs): once any D2H pull has happened, the
+    tunneled chip uploads at ~60 MB/s, so per-batch bytes are the
+    simulation's device-phase cost.
     """
 
-    mr_bc: jax.Array     # [RM] int32 barcode row of a match run
+    mr_bc: jax.Array     # [RM] uint8 barcode row of a match run
     mr_g: jax.Array      # [RM] uint32 genome start position of the run
-    mr_len: jax.Array    # [RM] int32 run length (0 = padding)
-    ex_bcsym: jax.Array  # [ME] int32 bc*5 + sym of an explicit observation
-    ex_g: jax.Array      # [ME] uint32 genome position
-    ex_w: jax.Array      # [ME] int8 1 = valid, 0 = padding
+    mr_len: jax.Array    # [RM] uint16 run length (0 = padding)
+    ex_bcsym: jax.Array  # [ME] uint16 bc*5 + sym of an explicit observation
+    ex_g: jax.Array      # [ME] uint32 genome position (EX_PAD = padding)
     rs_row: jax.Array    # [Rs] int32 global fhat window row
     rs_strand: jax.Array  # [Rs] int32 0=fwd 1=rev
     rs_w: jax.Array      # [Rs] f32
@@ -326,16 +331,22 @@ class RunsEngine:
         # reconstruction inc = explicit + onehot(ref) * match is exact: a
         # matching base is by definition an observation of ref_base[g].
         nbG = nb * G
-        sign = (batch.mr_len > 0).astype(jnp.int32)
+        mr_len = batch.mr_len.astype(jnp.int32)
+        sign = (mr_len > 0).astype(jnp.int32)
         # flatten (bc, g) pairs into this engine's global int32 domain
         # (guarded by the __init__ assert; the sharded engine flattens
-        # shard-locally instead)
-        mr_flat = batch.mr_bc * G + batch.mr_g.astype(jnp.int32)
-        ex_flat = batch.ex_bcsym * G + batch.ex_g.astype(jnp.int32)
+        # shard-locally instead). ex_flat stays UNSIGNED: an EX_PAD-padded
+        # row flattens to ~2^32, out of bounds, and the scatter drops it —
+        # signed it would wrap to -1, which .at[] normalises to the LAST
+        # element instead of dropping.
+        mr_flat = batch.mr_bc.astype(jnp.int32) * G + batch.mr_g.astype(jnp.int32)
+        ex_flat = (
+            batch.ex_bcsym.astype(jnp.uint32) * jnp.uint32(G) + batch.ex_g
+        )
         bounds = (
             jnp.zeros(nbG + 1, jnp.int32)
             .at[mr_flat].add(sign, mode="drop")
-            .at[mr_flat + batch.mr_len].add(-sign, mode="drop")
+            .at[mr_flat + mr_len].add(-sign, mode="drop")
         )
         match_inc = jnp.cumsum(bounds[:nbG]).reshape(nb, G)
         # single flat-index scatter: the multi-index-array form lowers to a
@@ -343,7 +354,7 @@ class RunsEngine:
         exp_inc = (
             jnp.zeros(nb * 5 * G, jnp.int32)
             .at[ex_flat]
-            .add(batch.ex_w.astype(jnp.int32), mode="drop")
+            .add(1, mode="drop")
             .reshape(nb, 5, G)
         )
         # one-hot reference recomputed from seq (elementwise compare, fused):

@@ -253,12 +253,13 @@ def full_update(engine, state_np: dict, batch_np: dict, approx_ccl, time_cost,
         idx = np.repeat(flat0, ln) + off
         b, g = np.divmod(idx, G)
         np.add.at(inc, (b * 5 + seq_i[g]) * G + g, 1)
+    ex_g = np.asarray(batch_np["ex_g"], np.int64)
+    ex_real = ex_g != 0xFFFFFFFF  # EX_PAD sentinel marks padding rows
     ex_flat = (
-        np.asarray(batch_np["ex_bcsym"], np.int64) * G
-        + np.asarray(batch_np["ex_g"], np.int64)
+        np.asarray(batch_np["ex_bcsym"], np.int64)[ex_real] * G
+        + ex_g[ex_real]
     )
-    ex_w = np.asarray(batch_np["ex_w"], np.int64)
-    np.add.at(inc, ex_flat, ex_w)
+    np.add.at(inc, ex_flat, 1)
     inc = inc.reshape(cov0.shape)
     # saturating uint16 add, matching the device step (runs.py step 1)
     cov = np.minimum(cov0.astype(np.int64) + inc, 65535).astype(np.uint16)

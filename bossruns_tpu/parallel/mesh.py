@@ -74,7 +74,7 @@ def local_run_indices(mr_bc, mr_g, mr_len, b0, g0u, nb_l, Gl):
     out-of-shard rows (dropped by the scatter).
     """
     OOB = nb_l * Gl
-    bc_l = mr_bc - b0
+    bc_l = mr_bc.astype(jnp.int32) - b0
     on_row = (bc_l >= 0) & (bc_l < nb_l) & (mr_len > 0)
     st_u = mr_g - g0u                                   # uint32, wraps
     idx_s = jnp.where(
@@ -89,10 +89,12 @@ def local_run_indices(mr_bc, mr_g, mr_len, b0, g0u, nb_l, Gl):
 
 def local_ex_indices(ex_bcsym, ex_g, b0, g0u, nb_l, Gl):
     """Shard-local flat scatter indices for explicit observations
-    ((bc_l*5+sym)*Gl + g_l), with nb_l*5*Gl marking out-of-shard rows."""
+    ((bc_l*5+sym)*Gl + g_l), with nb_l*5*Gl marking out-of-shard rows.
+    EX_PAD-padded rows wrap to a huge g_ue and fail the < Gl check."""
     OOB = nb_l * 5 * Gl
-    bc_e = ex_bcsym // 5 - b0
-    sym_e = ex_bcsym % 5
+    bsym = ex_bcsym.astype(jnp.int32)
+    bc_e = bsym // 5 - b0
+    sym_e = bsym % 5
     g_ue = ex_g - g0u                                   # uint32, wraps
     ok = (bc_e >= 0) & (bc_e < nb_l) & (g_ue < Gl)
     return jnp.where(ok, (bc_e * 5 + sym_e) * Gl + g_ue.astype(jnp.int32), OOB)
@@ -248,7 +250,7 @@ class ShardedRunsEngine(RunsEngine):
         idx = local_ex_indices(batch.ex_bcsym, batch.ex_g, b0, g0u, nb_l, Gl)
         exp_inc = (
             jnp.zeros(OOB2 + 1, jnp.int32)
-            .at[idx].add(batch.ex_w.astype(jnp.int32), mode="drop")
+            .at[idx].add(1, mode="drop")
         )[:OOB2].reshape(nb_l, 5, Gl)
         onehot_l = (
             seq_l[None, :] == jnp.arange(5, dtype=seq_l.dtype)[:, None]
@@ -492,12 +494,13 @@ def demo_sharded_step(n_devices: int | None = None, barcode_shards: int = 1, see
         rng.integers(0, nb, n_runs).astype(np.int32),
     )
     me = max(ex_g.shape[0], 16)
+    from ..io.coo_native import EX_PAD
+
     batch = eng.put_batch(
         ReadBatch(
             mr_bc=mr_bc, mr_g=mr_g, mr_len=mr_len,
-            ex_bcsym=np.zeros(me, np.int32),
-            ex_g=np.zeros(me, np.uint32),
-            ex_w=np.zeros(me, np.int8),
+            ex_bcsym=np.zeros(me, np.uint16),
+            ex_g=np.full(me, EX_PAD, np.uint32),
             rs_row=rng.integers(0, layout.n_fhat, 512).astype(np.int32),
             rs_strand=rng.integers(0, 2, 512).astype(np.int32),
             rs_w=np.ones(512, np.float32),

@@ -539,24 +539,31 @@ extern "C" {
 // Outputs are (barcode, position) PAIRS — not flattened bc*G+g indices —
 // so the format carries genomes beyond the int32 flat-index domain
 // (> ~430 Mb; a human genome's 3.1e9 positions need uint32). mr: match runs
-// (bc int32, gstart uint32, len int32); ex: explicit observations
-// (bc*5+sym int32, gpos uint32). Read starts are 64-bit (concatenated-genome
-// offsets exceed int32). Returns (n_runs << 32) | n_explicit, or -1 if a cap
-// would be exceeded.
-int64_t split_match_runs_wide(const int8_t* sym, const int8_t* qual, int64_t m,
-                              const int64_t* rstart, const int32_t* rspan,
-                              const int32_t* rbc, int32_t n_reads,
-                              const int8_t* ref, int64_t G,
-                              int32_t qt, int32_t len_b,
-                              int32_t* mr_bc, uint32_t* mr_g, int32_t* mr_len,
-                              int64_t mr_cap,
-                              int32_t* ex_bcsym, uint32_t* ex_g, int64_t ex_cap) {
+// (bc uint8, gstart uint32, len uint16); ex: explicit observations
+// (bc*5+sym uint16, gpos uint32). The narrow dtypes cut the per-batch
+// host->device bytes ~3x (the transfer dominates the simulation's device
+// phase over a tunneled chip); runs longer than 65535 are emitted as chunks.
+// Read starts are 64-bit (concatenated-genome offsets exceed int32).
+// Returns (n_runs << 32) | n_explicit, or -1 if a cap would be exceeded.
+// (_v2 suffix: the narrow-dtype ABI — a stale .so without this symbol makes
+// the Python side fall back to NumPy instead of corrupting buffers.)
+int64_t split_match_runs_wide_v2(const int8_t* sym, const int8_t* qual,
+                                 int64_t m,
+                                 const int64_t* rstart, const int32_t* rspan,
+                                 const int32_t* rbc, int32_t n_reads,
+                                 const int8_t* ref, int64_t G,
+                                 int32_t qt, int32_t len_b,
+                                 uint8_t* mr_bc, uint32_t* mr_g,
+                                 uint16_t* mr_len, int64_t mr_cap,
+                                 uint16_t* ex_bcsym, uint32_t* ex_g,
+                                 int64_t ex_cap) {
     int64_t nr = 0, ne = 0;
     int64_t base = 0;
     (void)m;
     for (int32_t r = 0; r < n_reads; ++r) {
         int64_t g0 = rstart[r];
         int64_t span = rspan[r];
+        uint8_t bc = (uint8_t)rbc[r];
         int64_t run_start = -1;
         for (int64_t i = 0; i < span; ++i) {
             int64_t g = g0 + i;
@@ -566,18 +573,26 @@ int64_t split_match_runs_wide(const int8_t* sym, const int8_t* qual, int64_t m,
             bool match = valid && s == ref[g];
             if (match) {
                 if (run_start < 0) run_start = g;
+                else if (g - run_start == 65535) {  // uint16 len cap: chunk
+                    if (nr >= mr_cap) return -1;
+                    mr_bc[nr] = bc;
+                    mr_g[nr] = (uint32_t)run_start;
+                    mr_len[nr] = 65535;
+                    ++nr;
+                    run_start = g;
+                }
             } else {
                 if (run_start >= 0) {
                     if (nr >= mr_cap) return -1;
-                    mr_bc[nr] = rbc[r];
+                    mr_bc[nr] = bc;
                     mr_g[nr] = (uint32_t)run_start;
-                    mr_len[nr] = (int32_t)(g - run_start);
+                    mr_len[nr] = (uint16_t)(g - run_start);
                     ++nr;
                     run_start = -1;
                 }
                 if (valid) {
                     if (ne >= ex_cap) return -1;
-                    ex_bcsym[ne] = rbc[r] * 5 + s;
+                    ex_bcsym[ne] = (uint16_t)(rbc[r] * 5 + s);
                     ex_g[ne] = (uint32_t)g;
                     ++ne;
                 }
@@ -585,9 +600,9 @@ int64_t split_match_runs_wide(const int8_t* sym, const int8_t* qual, int64_t m,
         }
         if (run_start >= 0) {
             if (nr >= mr_cap) return -1;
-            mr_bc[nr] = rbc[r];
+            mr_bc[nr] = bc;
             mr_g[nr] = (uint32_t)run_start;
-            mr_len[nr] = (int32_t)(g0 + span - run_start);
+            mr_len[nr] = (uint16_t)(g0 + span - run_start);
             ++nr;
         }
         base += span;

@@ -88,7 +88,10 @@ def test_120mb_diploid_sharded_two_batches():
     cov = state.coverage
     assert cov.shape == (1, 5, layout.G_pad)
     total = int(np.asarray(jax.jit(lambda c: c.sum(dtype=np.int64))(cov)))
-    assert total == 2 * (int(padded["mr_len"].sum()) + int(padded["ex_w"].sum()))
+    assert total == 2 * (
+        int(padded["mr_len"].sum(dtype=np.int64))
+        + int((padded["ex_g"] != 0xFFFFFFFF).sum())
+    )
     assert np.isfinite(ah.threshold)
     # strategy grid exists at full downsampled size and is boolean
     assert state.strat.shape == (1, layout.Gd_pad, 2)

@@ -101,3 +101,61 @@ def test_split_runs_on_2_3gb_layout():
     assert ex_g[1] == np.uint32(2_299_999_003) and ex_bcsym[1] == 4
     # read 2 sits in the int32-safe region
     assert mr_g[-1] == np.uint32(1_000) and mr_len[-1] == 10
+
+
+def test_split_runs_chunks_long_runs_to_uint16():
+    """Error-free stretches longer than 65535 bases are emitted as uint16-
+    sized chunks (C + NumPy paths agree), so mr_len rides the host->device
+    transfer as uint16 without losing coverage."""
+    from bossruns_tpu.io import coo_native
+    from bossruns_tpu.models.layout import build_layout
+
+    L = 200_000
+    lay = build_layout({"c": np.zeros(300_000, np.uint8)})
+    rstart = np.array([100], np.int64)
+    rspan = np.array([L], np.int32)
+    rbc = np.zeros(1, np.int32)
+    sym = np.zeros(L, np.int8)  # every base matches the all-'A' reference
+    qual = np.full(L, 40, np.int8)
+
+    res_c = coo_native.split_runs(lay, sym, qual, rstart, rspan, rbc)
+    lib = coo_native.native_mod._lib
+    try:
+        coo_native.native_mod._lib = False
+        res_np = coo_native.split_runs(lay, sym, qual, rstart, rspan, rbc)
+    finally:
+        coo_native.native_mod._lib = lib
+    for a, b in zip(res_c, res_np):
+        np.testing.assert_array_equal(a, b)
+
+    mr_bc, mr_g, mr_len, ex_bcsym, ex_g = res_c
+    assert mr_len.dtype == np.uint16 and mr_bc.dtype == np.uint8
+    assert int(mr_len.sum(dtype=np.int64)) == L  # no coverage lost
+    assert mr_g.tolist() == [100 + 65535 * k for k in range(len(mr_g))]
+    assert (mr_len[:-1] == 65535).all() and ex_g.size == 0
+
+
+def test_ex_pad_sentinel_is_dropped_not_wrapped():
+    """EX_PAD padding rows must NOT scatter anywhere — a signed flatten
+    would wrap them to index -1, i.e. the LAST coverage element (regression:
+    the engine scatters ex_flat in uint32 for exactly this reason)."""
+    from bossruns_tpu.io.coo_native import EX_PAD
+    from bossruns_tpu.models.layout import build_layout
+    from bossruns_tpu.models.runs import ReadBatch, RunsEngine
+
+    lay = build_layout({"c": np.zeros(120_000, np.uint8)}, n_barcodes=2)
+    eng = RunsEngine(lay)
+    state = eng.init_state()
+    batch = ReadBatch(
+        mr_bc=np.zeros(4, np.uint8), mr_g=np.zeros(4, np.uint32),
+        mr_len=np.zeros(4, np.uint16),          # all-padding match runs
+        ex_bcsym=np.zeros(64, np.uint16),
+        ex_g=np.full(64, EX_PAD, np.uint32),    # all-padding explicit rows
+        rs_row=np.zeros(4, np.int32), rs_strand=np.zeros(4, np.int32),
+        rs_w=np.zeros(4, np.float32),
+    )
+    params = eng.make_params(
+        np.array([3000, 2000, 1400, 1000, 700, 500, 350, 220, 120, 40]), 530.0
+    )
+    state, _ = eng.step(state, batch, params)
+    assert int(np.asarray(state.coverage).sum()) == 0
