@@ -41,6 +41,7 @@ class PoolIndex:
         idx = build_index(np.where(valid, concat, 0).astype(np.uint8), valid, k=k, w=w, max_occ=max_occ)
         # pad floors sized for a working pool (~2 Mb of sequence): small
         # early-batch indexes share the steady-state kernel shapes
+        self.host = idx  # host MinimizerIndex (CSR offsets/positions)
         self.dev = DeviceIndex(idx, min_keys_pad=1 << 18, min_pos_pad=1 << 19)
         self.k = k
 
@@ -91,8 +92,6 @@ def find_overlaps(
     Returns dict of columnar arrays (qname/qlen/qstart/qend/rev/tname/tlen/
     tstart/tend/nmatch/blocklen/s1) with approximate chain-extent coords.
     """
-    import jax.numpy as jnp
-
     qnames = list(queries)
     enc = [encode(queries[q]) for q in qnames]
     rows: dict[str, list] = {k: [] for k in (
@@ -104,7 +103,7 @@ def find_overlaps(
         mat = np.full((rows_p, L), 4, np.int8)
         for r, g in enumerate(group):
             mat[r, : min(enc[g].shape[0], L)] = enc[g][:L]
-        cands = seed_candidates(jnp.asarray(mat), pool_index.dev, ncand=ncand)
+        cands = seed_candidates(mat, pool_index.dev, ncand=ncand)
         nc = cands["votes"].shape[1]
         for r, g in enumerate(group):
             qname = qnames[g]

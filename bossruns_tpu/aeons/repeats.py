@@ -42,9 +42,9 @@ class RepeatFilter:
         self.min_votes = min_votes
         # occurrence-uncapped index: repeats are exactly the high-occ keys
         pidx = PoolIndex(seqs, max_occ=1_000_000)
-        idx = pidx.dev
+        idx = pidx.host  # occurrence stats come from the host CSR index
         counts_per_key = np.diff(np.asarray(idx.offsets, np.int64))
-        n_real = int(np.asarray(idx.offsets)[-1])
+        n_real = int(idx.offsets[-1])
         positions = np.asarray(idx.positions, np.int64)[:n_real]
         # per minimizer occurrence: how often its key occurs in the pool
         occ = np.repeat(counts_per_key, counts_per_key)[:n_real]

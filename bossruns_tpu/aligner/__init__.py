@@ -94,8 +94,12 @@ class TpuAligner:
 
     # ----------------------------------------------------------- seeding ----
 
-    def _seed_bucket(self, enc_reads: list[np.ndarray]):
-        import jax.numpy as jnp
+    def _seed_bucket_dispatch(self, enc_reads: list[np.ndarray]):
+        """Dispatch the seeding kernel for one bucket WITHOUT pulling the
+        result: jit dispatch is async, so several buckets' kernels queue on
+        the device while the host runs banded DP on earlier buckets
+        (map_sequences pipelines pull->jobs->DP per bucket)."""
+        from .seed import _seed_and_vote_jit, anchor_budget, pack_reads
 
         lens = np.array([e.shape[0] for e in enc_reads], np.int32)
         L = 0
@@ -110,8 +114,23 @@ class TpuAligner:
             mat[r, : min(e.shape[0], L)] = e[:L]
         lens_p = np.zeros(rows, np.int32)
         lens_p[: lens.shape[0]] = np.minimum(lens, L)
-        out = seed_and_vote(jnp.asarray(mat), self.dev_index, jnp.asarray(lens_p))
-        return {key: np.asarray(v)[: len(enc_reads)] for key, v in out.items()}
+        di = self.dev_index
+        return _seed_and_vote_jit(
+            pack_reads(mat), lens_p, di.keys, di.pos_packed,
+            di.k, di.w, anchor_budget(L, di.w), L,
+        )
+
+    @staticmethod
+    def _pull_seeds(out_dev, n: int):
+        """Block on one bucket's kernel and unpack its [6, R] result."""
+        packed = np.asarray(out_dev)
+        names = ("mapped", "strand", "tstart", "votes", "second", "dspan")
+        out = {key: packed[i][:n] for i, key in enumerate(names)}
+        out["mapped"] = out["mapped"].astype(bool)
+        return out
+
+    def _seed_bucket(self, enc_reads: list[np.ndarray]):
+        return self._pull_seeds(self._seed_bucket_dispatch(enc_reads), len(enc_reads))
 
     # ----------------------------------------------------------- mapping ----
 
@@ -128,9 +147,12 @@ class TpuAligner:
         if not rids:
             return _empty_records()
         enc = [encode(sequences[r][: self.mu] if trunc else sequences[r]) for r in rids]
-        # bucket by length to bound padded shapes
+        # bucket by length to bound padded shapes. Dispatch EVERY bucket's
+        # seeding kernel up front (async jit dispatch — they queue on the
+        # device), then pull/extend per bucket: the host's banded DP on
+        # bucket i overlaps the device seeding of buckets i+1.. .
         order = np.argsort([e.shape[0] for e in enc], kind="stable")
-        results = {}
+        pend = []
         i = 0
         while i < len(order):
             j = i
@@ -145,14 +167,46 @@ class TpuAligner:
                     break
                 group.append(order[j])
                 j += 1
-            seeds = self._seed_bucket([enc[g] for g in group])
-            for slot, g in enumerate(group):
-                results[g] = {k: v[slot] for k, v in seeds.items()}
+            pend.append((group, self._seed_bucket_dispatch([enc[g] for g in group])))
             i = j
 
-        # build extension jobs
+        rows = {k: [] for k in (
+            "qname qlen qstart qend rev tname tlen tstart tend nmatch blocklen mapq "
+            "align_score s1 primary".split()
+        )}
+        cigs = []
+        for group, out_dev in pend:
+            seeds = self._pull_seeds(out_dev, len(group))
+            results = {
+                g: {k: v[slot] for k, v in seeds.items()}
+                for slot, g in enumerate(group)
+            }
+            self._extend_bucket(rids, enc, results, min_len, rows, cigs)
+
+        return PafRecords(
+            qname=np.array(rows["qname"], dtype=object),
+            qlen=np.array(rows["qlen"], dtype=np.int64),
+            qstart=np.array(rows["qstart"], dtype=np.int64),
+            qend=np.array(rows["qend"], dtype=np.int64),
+            rev=np.array(rows["rev"], dtype=np.int8),
+            tname=np.array(rows["tname"], dtype=object),
+            tlen=np.array(rows["tlen"], dtype=np.int64),
+            tstart=np.array(rows["tstart"], dtype=np.int64),
+            tend=np.array(rows["tend"], dtype=np.int64),
+            nmatch=np.array(rows["nmatch"], dtype=np.int64),
+            blocklen=np.array(rows["blocklen"], dtype=np.int64),
+            mapq=np.array(rows["mapq"], dtype=np.int64),
+            align_score=np.array(rows["align_score"], dtype=np.int64),
+            s1=np.array(rows["s1"], dtype=np.int64),
+            primary=np.array(rows["primary"], dtype=np.int8),
+            cigars=cigs,
+        )
+
+    def _extend_bucket(self, rids, enc, results, min_len, rows, cigs) -> None:
+        """Banded-DP extension + record assembly for one bucket's seeds
+        (host work — runs while later buckets' seeding kernels execute on
+        the device)."""
         jobs = []
-        G = self.layout.G_pad
         for g, rd in results.items():
             if not rd["mapped"] or rd["votes"] < self.min_votes:
                 continue
@@ -180,7 +234,7 @@ class TpuAligner:
                 continue
             jobs.append((g, q, ws, we, max(0, ts_pred - ws), half))
         if not jobs:
-            return _empty_records()
+            return
 
         q_cat = np.concatenate([j[1] for j in jobs]).astype(np.int8)
         q_off = np.concatenate([[0], np.cumsum([j[1].shape[0] for j in jobs])]).astype(np.int64)
@@ -192,12 +246,6 @@ class TpuAligner:
             q_cat, q_off, self.target, win_s, win_e, pad, half, self.threads
         )
 
-        # assemble records
-        rows = {k: [] for k in (
-            "qname qlen qstart qend rev tname tlen tstart tend nmatch blocklen mapq "
-            "align_score s1 primary".split()
-        )}
-        cigs = []
         for jix, (g, q, *_rest) in enumerate(jobs):
             if cost[jix] < 0 or cigars[jix].size == 0:
                 continue
@@ -260,25 +308,6 @@ class TpuAligner:
             rows["s1"].append(int(rd["votes"]))
             rows["primary"].append(1)
             cigs.append(cig)  # packed uint32; consumers accept it directly
-
-        return PafRecords(
-            qname=np.array(rows["qname"], dtype=object),
-            qlen=np.array(rows["qlen"], dtype=np.int64),
-            qstart=np.array(rows["qstart"], dtype=np.int64),
-            qend=np.array(rows["qend"], dtype=np.int64),
-            rev=np.array(rows["rev"], dtype=np.int8),
-            tname=np.array(rows["tname"], dtype=object),
-            tlen=np.array(rows["tlen"], dtype=np.int64),
-            tstart=np.array(rows["tstart"], dtype=np.int64),
-            tend=np.array(rows["tend"], dtype=np.int64),
-            nmatch=np.array(rows["nmatch"], dtype=np.int64),
-            blocklen=np.array(rows["blocklen"], dtype=np.int64),
-            mapq=np.array(rows["mapq"], dtype=np.int64),
-            align_score=np.array(rows["align_score"], dtype=np.int64),
-            s1=np.array(rows["s1"], dtype=np.int64),
-            primary=np.array(rows["primary"], dtype=np.int8),
-            cigars=cigs,
-        )
 
 
 def _empty_records() -> PafRecords:

@@ -62,6 +62,9 @@ def _pad_hysteresis(n: int, which: str) -> int:
     return pad
 
 
+PACK_PAD = np.uint32(0xFFFFFFFF)  # pos_packed slot with no occurrence
+
+
 class DeviceIndex:
     """Device-resident copy of the minimizer index (int32).
 
@@ -69,7 +72,15 @@ class DeviceIndex:
     _pad_hysteresis) so rebuilt indexes (AEONS rebuilds the pool index every
     batch) hit the jit cache instead of recompiling the seeding kernels: pad
     keys are INT32_MAX sentinels (> any 30-bit k-mer code, so lookups never
-    match) with zero occurrence counts."""
+    match).
+
+    Occurrences live in ``pos_packed`` [U_pad, OCC_CAP] uint32 =
+    (position << 1) | strand, PACK_PAD where a key has fewer occurrences:
+    a fixed stride per key turns the anchor fetch into ONE gather with a
+    contiguous 16-byte inner slice indexed by the key's rank from the
+    sort-join. The previous layout (CSR positions + per-element base+occ
+    gathers) cost ~190 ms of a ~390 ms seeding kernel on this TPU — scalar
+    gathers are the platform's weakest op."""
 
     def __init__(self, idx: MinimizerIndex, min_keys_pad: int = 1,
                  min_pos_pad: int = 1):
@@ -82,19 +93,44 @@ class DeviceIndex:
         nkp = _pad_hysteresis(max(nk, min_keys_pad), "keys")
         keys = np.full(nkp, np.iinfo(np.int32).max, np.int32)
         keys[:nk] = idx.keys
-        offsets = np.full(nkp + 1, idx.offsets[-1], np.int64)
-        offsets[: nk + 1] = idx.offsets
-        npos = idx.positions.shape[0]
-        npp = _pad_hysteresis(max(npos, min_pos_pad), "pos")
-        positions = np.zeros(npp, np.int64)
-        positions[:npos] = idx.positions
-        strands = np.zeros(npp, np.int8)
-        strands[:npos] = idx.strands
+        packed = np.full((nkp, OCC_CAP), PACK_PAD, np.uint32)
+        off = idx.offsets
+        pos_u = idx.positions.astype(np.uint32)
+        str_u = idx.strands.astype(np.uint32)
+        cnt = np.minimum(off[1:] - off[:-1], OCC_CAP).astype(np.int64)
+        for c in range(OCC_CAP):
+            rows = np.flatnonzero(cnt > c)
+            src = off[rows] + c
+            packed[rows, c] = (pos_u[src] << np.uint32(1)) | str_u[src]
+        # _pos_pad kept so AEONS' per-batch index rebuilds stay shape-stable
+        self._pos_pad = _pad_hysteresis(
+            max(idx.positions.shape[0], min_pos_pad), "pos"
+        )
+        self.pos_packed = jnp.asarray(packed)
         self.keys = jnp.asarray(keys, jnp.int32)        # 30-bit codes
-        self.offsets = jnp.asarray(offsets, jnp.int32)
-        self.positions = jnp.asarray(positions, jnp.int32)
-        self.strands = jnp.asarray(strands, jnp.int32)
         self.n_keys = nk
+
+
+def pack_reads(mat: np.ndarray) -> np.ndarray:
+    """[R, L] int8 base codes (0..4) -> [R, L//8] uint32, 4 bits per base.
+
+    The padded read matrix is the seeding stage's host->device payload; on a
+    tunneled chip that path runs at ~25-60 MB/s once any D2H has happened,
+    so 4x fewer bytes is ~4x less upload latency. 4 bits keep the N/pad
+    code (4) exact. L must be a multiple of 8 (LENGTH_BUCKETS are)."""
+    r, L = mat.shape
+    assert L % 8 == 0, L
+    u = mat.astype(np.uint8).reshape(r, L // 8, 8).astype(np.uint32)
+    shifts = (np.arange(8, dtype=np.uint32) * 4)[None, None, :]
+    return np.bitwise_or.reduce(u << shifts, axis=2)
+
+
+def unpack_reads(packed, L: int):
+    """Device-side inverse of pack_reads: [R, L//8] uint32 -> [R, L] int8.
+    Elementwise shifts/masks — XLA fuses the decode into the k-mer scan."""
+    shifts = (jnp.arange(8, dtype=jnp.uint32) * 4)[None, None, :]
+    x = (packed[:, :, None] >> shifts) & jnp.uint32(0xF)
+    return x.reshape(packed.shape[0], L).astype(jnp.int8)
 
 
 def _rolling_min(x, w):
@@ -157,19 +193,19 @@ def compact_minimizers(canonical, strand, is_min, budget: int = ANCHOR_BUDGET):
     return take(canonical), take(strand), take(posidx), take(is_min)
 
 
-def _lookup_join(keys, offsets, ck, valid):
+def _lookup_join(keys, ck, valid):
     """Gather-free index lookup via sort-join.
 
     Binary-search gathers run ~40k/ms on this TPU; joining the sorted index
     keys with the query k-mers through one multi-operand sort + cumulative
     maxima costs two sorts' worth of bandwidth instead. Carried payloads:
-    the key's offsets[i] and offsets[i+1] (both monotone in sorted order, so
-    cummax propagates the last key <= query), and the key value itself for
-    the exact-match test.
+    the key's RANK (its row in the sorted key table — monotone, so cummax
+    propagates the last key <= query) and the key value itself for the
+    exact-match test. The rank then indexes pos_packed's fixed-stride rows.
 
-    keys [U] sorted int32 (pad INT32_MAX); offsets [U+1] int32;
-    ck [N] int32 queries; valid [N] bool.
-    Returns (hit [N] bool, base [N] int32, count [N] int32).
+    keys [U] sorted int32 (pad INT32_MAX); ck [N] int32 queries;
+    valid [N] bool.
+    Returns (hit [N] bool, rank [N] int32 in [0, U)).
     """
     U = keys.shape[0]
     n = ck.shape[0]
@@ -177,20 +213,19 @@ def _lookup_join(keys, offsets, ck, valid):
     v = jnp.concatenate([keys, ck])
     tag = jnp.concatenate([jnp.zeros(U, jnp.int32), jnp.ones(n, jnp.int32)])
     kv = jnp.concatenate([keys, jnp.full(n, -1, jnp.int32)])
-    off_lo = jnp.concatenate([offsets[:U], jnp.full(n, -1, jnp.int32)])
-    off_hi = jnp.concatenate([offsets[1 : U + 1], jnp.full(n, -1, jnp.int32)])
+    rank = jnp.concatenate(
+        [jnp.arange(U, dtype=jnp.int32), jnp.full(n, -1, jnp.int32)]
+    )
     slot = jnp.concatenate([jnp.full(U, big, jnp.int32), jnp.arange(n, dtype=jnp.int32)])
-    sv, _st, skv, slo, shi, sslot = jax.lax.sort(
-        (v, tag, kv, off_lo, off_hi, slot), num_keys=2
+    sv, _st, skv, srk, sslot = jax.lax.sort(
+        (v, tag, kv, rank, slot), num_keys=2
     )
     ckv = jax.lax.cummax(skv)
-    clo = jax.lax.cummax(slo)
-    chi = jax.lax.cummax(shi)
+    crk = jax.lax.cummax(srk)
     out_val = jnp.zeros(n, jnp.int32).at[sslot].set(ckv, mode="drop")
-    out_lo = jnp.zeros(n, jnp.int32).at[sslot].set(clo, mode="drop")
-    out_hi = jnp.zeros(n, jnp.int32).at[sslot].set(chi, mode="drop")
+    out_rank = jnp.zeros(n, jnp.int32).at[sslot].set(crk, mode="drop")
     hit = valid & (out_val == ck)
-    return hit, jnp.maximum(out_lo, 0), jnp.maximum(out_hi - out_lo, 0)
+    return hit, jnp.maximum(out_rank, 0)
 
 
 def _vote(keys_flat, tol=DIAG_TOL):
@@ -225,34 +260,44 @@ def _vote(keys_flat, tol=DIAG_TOL):
     return jnp.where(keys_flat < SENTINEL, votes, -1)
 
 
-@partial(jax.jit, static_argnames=("k", "w", "budget"))
-def _seed_and_vote_jit(reads, read_lens, keys, offsets, positions, strands, n_keys_arr,
-                       k: int, w: int = W, budget: int = ANCHOR_BUDGET):
+@partial(jax.jit, static_argnames=("k", "w", "budget", "L"))
+def _seed_and_vote_jit(reads_packed, read_lens, keys, pos_packed,
+                       k: int, w: int = W, budget: int = ANCHOR_BUDGET,
+                       L: int = 0):
+    reads = unpack_reads(reads_packed, L)
     canonical, strand, is_min = read_minimizers(reads, k, w)
     ck, cs, cpos, cvalid = compact_minimizers(canonical, strand, is_min, budget)
     r, a = ck.shape
 
-    hit_f, base_f, count_f = _lookup_join(
-        keys, offsets, ck.reshape(-1), cvalid.reshape(-1)
-    )
+    hit_f, rank_f = _lookup_join(keys, ck.reshape(-1), cvalid.reshape(-1))
     hit = hit_f.reshape(r, a)
-    base = base_f.reshape(r, a)
-    count = count_f.reshape(r, a)
-
-    occ = jnp.arange(OCC_CAP, dtype=jnp.int32)
-    occ_ok = hit[:, :, None] & (occ[None, None, :] < count[:, :, None])
-    pidx = jnp.minimum(base[:, :, None] + occ[None, None, :], positions.shape[0] - 1)
-    gpos = positions[pidx]
-    gstrand = strands[pidx]
+    # one gather with a contiguous [OCC_CAP] inner slice per anchor (see
+    # DeviceIndex.pos_packed — per-element CSR gathers cost ~190 ms here)
+    packed = pos_packed[rank_f.reshape(r, a)]     # [r, a, OCC_CAP] uint32
+    occ_ok = hit[:, :, None] & (packed != PACK_PAD)
+    gpos = (packed >> 1).astype(jnp.int32)
+    gstrand = (packed & 1).astype(jnp.int32)
 
     same = gstrand == cs[:, :, None]
     diag_f = gpos - cpos[:, :, None]
     diag_r = gpos + cpos[:, :, None]
-    key_f = jnp.where(occ_ok & same, diag_f, SENTINEL).reshape(r, a * OCC_CAP)
-    key_r = jnp.where(occ_ok & ~same, diag_r, SENTINEL).reshape(r, a * OCC_CAP)
+    key_f0 = jnp.where(occ_ok & same, diag_f, SENTINEL).reshape(r, a * OCC_CAP)
+    key_r0 = jnp.where(occ_ok & ~same, diag_r, SENTINEL).reshape(r, a * OCC_CAP)
 
-    votes_f = _vote(key_f)
-    votes_r = _vote(key_r)
+    # compact before voting: most anchors have ~1.3 occurrences, so about
+    # 2/3 of the a*OCC_CAP slots are SENTINEL padding. A 1-operand ascending
+    # sort pushes sentinels to the end (SENTINEL > any diagonal); voting on
+    # the front half costs ~40% less sort volume than voting padded. The
+    # slot identity is never used downstream — only the key VALUES — so
+    # compaction is transparent. Reads with > a*OCC_CAP/2 real anchor
+    # occurrences (heavy repeats) lose their largest diagonals, matching
+    # minimap2's high-occurrence seed drop in spirit. fwd/rev stack into ONE
+    # sort + ONE vote launch.
+    cw = (a * OCC_CAP) // 2
+    key_fr = jax.lax.sort(jnp.concatenate([key_f0, key_r0], axis=0), dimension=1)[:, :cw]
+    votes_fr = _vote(key_fr)
+    key_f, key_r = key_fr[:r], key_fr[r:]
+    votes_f, votes_r = votes_fr[:r], votes_fr[r:]
     bf = jnp.argmax(votes_f, axis=1)
     br = jnp.argmax(votes_r, axis=1)
     vf = jnp.take_along_axis(votes_f, bf[:, None], axis=1)[:, 0]
@@ -306,18 +351,18 @@ def anchor_budget(L: int, w: int) -> int:
 
 
 def seed_and_vote(reads, dev_idx: DeviceIndex, read_lens):
-    """[R, L] padded reads -> per-read best candidate dict of [R] arrays."""
+    """[R, L] padded HOST read matrix (int8 codes) -> per-read best
+    candidate dict of [R] arrays. Ships the reads 4-bit packed (pack_reads)."""
+    L = int(reads.shape[1])
     packed = np.asarray(_seed_and_vote_jit(
-        reads,
+        pack_reads(np.asarray(reads)),
         read_lens,
         dev_idx.keys,
-        dev_idx.offsets,
-        dev_idx.positions,
-        dev_idx.strands,
-        None,
+        dev_idx.pos_packed,
         dev_idx.k,
         dev_idx.w,
-        anchor_budget(reads.shape[1], dev_idx.w),
+        anchor_budget(L, dev_idx.w),
+        L,
     ))  # single D2H transfer
     names = ("mapped", "strand", "tstart", "votes", "second", "dspan")
     out = {n: packed[i] for i, n in enumerate(names)}
@@ -325,9 +370,10 @@ def seed_and_vote(reads, dev_idx: DeviceIndex, read_lens):
     return out
 
 
-@partial(jax.jit, static_argnames=("k", "ncand", "tol", "w", "budget"))
-def _seed_candidates_jit(reads, keys, offsets, positions, strands, k: int, ncand: int,
-                         tol: int = DIAG_TOL, w: int = W, budget: int = ANCHOR_BUDGET):
+@partial(jax.jit, static_argnames=("k", "ncand", "tol", "w", "budget", "L"))
+def _seed_candidates_jit(reads_packed, keys, pos_packed, k: int, ncand: int,
+                         tol: int = DIAG_TOL, w: int = W, budget: int = ANCHOR_BUDGET,
+                         L: int = 0):
     """Multi-candidate seeding for all-vs-all overlap discovery (AEONS).
 
     Returns per read, per candidate [R, 2*ncand] arrays: votes, strand,
@@ -335,34 +381,37 @@ def _seed_candidates_jit(reads, keys, offsets, positions, strands, k: int, ncand
     top-voted diagonal clusters per strand space (minimap2-ava style chain
     extents without base-level extension).
     """
+    reads = unpack_reads(reads_packed, L)
     canonical, strand, is_min = read_minimizers(reads, k, w)
     ck, cs, cpos, cvalid = compact_minimizers(canonical, strand, is_min, budget)
     r, a = ck.shape
 
-    hit_f, base_f, count_f = _lookup_join(
-        keys, offsets, ck.reshape(-1), cvalid.reshape(-1)
-    )
+    hit_f, rank_f = _lookup_join(keys, ck.reshape(-1), cvalid.reshape(-1))
     hit = hit_f.reshape(r, a)
-    base = base_f.reshape(r, a)
-    count = count_f.reshape(r, a)
-
-    occ = jnp.arange(OCC_CAP, dtype=jnp.int32)
-    occ_ok = hit[:, :, None] & (occ[None, None, :] < count[:, :, None])
-    pidx = jnp.minimum(base[:, :, None] + occ[None, None, :], positions.shape[0] - 1)
-    gpos = positions[pidx]
-    gstrand = strands[pidx]
+    packed = pos_packed[rank_f.reshape(r, a)]     # [r, a, OCC_CAP] uint32
+    occ_ok = hit[:, :, None] & (packed != PACK_PAD)
+    gpos = (packed >> 1).astype(jnp.int32)
+    gstrand = (packed & 1).astype(jnp.int32)
 
     same = gstrand == cs[:, :, None]
     diag_f = gpos - cpos[:, :, None]
     diag_r = gpos + cpos[:, :, None]
-    rp = jnp.broadcast_to(cpos[:, :, None], (r, a, OCC_CAP)).reshape(r, a * OCC_CAP)
-    gp = gpos.reshape(r, a * OCC_CAP)
+    rp0 = jnp.broadcast_to(cpos[:, :, None], (r, a, OCC_CAP)).reshape(r, a * OCC_CAP)
+    gp0 = gpos.reshape(r, a * OCC_CAP)
 
     big = jnp.int32(1 << 30)
+    cw = (a * OCC_CAP) // 2
     results = []
     for strand_space, key0 in ((0, jnp.where(occ_ok & same, diag_f, SENTINEL)),
                                (1, jnp.where(occ_ok & ~same, diag_r, SENTINEL))):
-        keys_flat = key0.reshape(r, a * OCC_CAP)
+        # compact before voting (see _seed_and_vote_jit): ~2/3 of the slots
+        # are SENTINEL padding; the peel rounds below then run on half the
+        # width too. rp/gp ride the sort as payload operands.
+        keys_flat, rp, gp = (
+            arr[:, :cw] for arr in jax.lax.sort(
+                (key0.reshape(r, a * OCC_CAP), rp0, gp0), num_keys=1, dimension=1
+            )
+        )
         votes = _vote(keys_flat, tol)
         v = votes
         for _ in range(ncand):
@@ -384,17 +433,20 @@ def _seed_candidates_jit(reads, keys, offsets, positions, strands, k: int, ncand
 
 
 def seed_candidates(reads, dev_idx: DeviceIndex, ncand: int = 4, tol: int | None = None):
-    """[R, L] padded reads -> top diagonal clusters per strand space.
+    """[R, L] padded HOST read matrix -> top diagonal clusters per strand
+    space. Ships the reads 4-bit packed (pack_reads).
 
     tol: diagonal clustering tolerance; long sequences accumulate indel
     drift ~1% of their length, so callers scale it with read length.
     """
+    L = int(reads.shape[1])
     if tol is None:
-        tol = max(DIAG_TOL, reads.shape[1] // 32)
+        tol = max(DIAG_TOL, L // 32)
     out = _seed_candidates_jit(
-        reads, dev_idx.keys, dev_idx.offsets, dev_idx.positions, dev_idx.strands,
+        pack_reads(np.asarray(reads)), dev_idx.keys, dev_idx.pos_packed,
         dev_idx.k, ncand, int(tol), dev_idx.w,
-        anchor_budget(reads.shape[1], dev_idx.w),
+        anchor_budget(L, dev_idx.w),
+        L,
     )
     packed = np.asarray(out)  # single D2H transfer
     names = ("votes", "strand", "qmin", "qmax", "tmin", "tmax")

@@ -198,18 +198,18 @@ def test_lookup_join_matches_searchsorted(rng):
     ]).astype(np.int32)
     valid = np.ones(q.shape[0], bool)
     valid[::17] = False
-    hit, base, count = seed_mod._lookup_join(
-        jnp.asarray(keys), jnp.asarray(offsets), jnp.asarray(q), jnp.asarray(valid)
+    hit, rank = seed_mod._lookup_join(
+        jnp.asarray(keys), jnp.asarray(q), jnp.asarray(valid)
     )
-    hit, base, count = map(np.asarray, (hit, base, count))
+    hit, rank = map(np.asarray, (hit, rank))
     loc = np.searchsorted(keys_real, q)
     loc_c = np.minimum(loc, nk - 1)
     exp_hit = valid & (keys_real[loc_c] == q)
     np.testing.assert_array_equal(hit, exp_hit)
-    np.testing.assert_array_equal(base[exp_hit], offsets_real[loc_c[exp_hit]])
-    np.testing.assert_array_equal(
-        count[exp_hit], offsets_real[loc_c[exp_hit] + 1] - offsets_real[loc_c[exp_hit]]
-    )
+    # the rank indexes the sorted key table (= pos_packed row)
+    np.testing.assert_array_equal(rank[exp_hit], loc_c[exp_hit])
+    assert (rank >= 0).all() and (rank < nkp).all()
+    del offsets  # offsets no longer ride the device join (pos_packed does)
 
 
 def test_overhanging_reads_near_contig_ends(rng):
