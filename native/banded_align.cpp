@@ -151,6 +151,177 @@ AlnResult banded_align(const int8_t* q, int32_t m, const int8_t* t, int32_t n,
     return res;
 }
 
+// ---------------------------------------------------------------------------
+// Bit-parallel banded alignment (Myers 1999 block recurrence, Hyyro's
+// carry-corrected formulation — both published algorithms). Each 64-row
+// block of the query advances one text column in ~15 word ops, vs 64 cells
+// of scalar/SIMD DP: ~3x faster than the 3-pass int32 kernel above at ONT
+// band widths. Same alignment model as banded_align (unit edit costs, free
+// leading/trailing target gaps, query consumed end-to-end) with one
+// relaxation: the band is block-granular and its edges are permissive (a
+// path may ride the frozen band top at +1/column), so costs can be <= the
+// strict-band kernel's. Traceback reconstructs cell values from stored
+// per-column (Pv, Mv, Score) words by popcount and walks M > I > D on
+// score equality — the same tie priority as the trace-array kernel.
+
+struct MyersWS {
+    std::vector<uint64_t> peq;                 // [5][nb]
+    std::vector<uint64_t> Pv, Mv;              // [nb] current column
+    std::vector<int32_t> Score;                // [nb] D[(b+1)*64][j]
+    std::vector<uint64_t> trPv, trMv;          // per column, active blocks
+    std::vector<int32_t> trScore;
+    std::vector<int32_t> colFirst, colLast, colBase;
+};
+
+static inline int myers_block(uint64_t& Pv, uint64_t& Mv, uint64_t Eq, int hin) {
+    const uint64_t HIGH = 1ull << 63;
+    uint64_t Xv = Eq | Mv;
+    if (hin < 0) Eq |= 1ull;
+    uint64_t Xh = (((Eq & Pv) + Pv) ^ Pv) | Eq;
+    uint64_t Ph = Mv | ~(Xh | Pv);
+    uint64_t Mh = Pv & Xh;
+    int hout = int((Ph & HIGH) >> 63) - int((Mh & HIGH) >> 63);
+    Ph <<= 1;
+    Mh <<= 1;
+    if (hin < 0) Mh |= 1ull;
+    if (hin > 0) Ph |= 1ull;
+    Pv = Mh | ~(Xv | Ph);
+    Mv = Ph & Xv;
+    return hout;
+}
+
+AlnResult banded_myers(const int8_t* q, int32_t m, const int8_t* t, int32_t n,
+                       int32_t half, int32_t pad, MyersWS& ws,
+                       uint32_t* cigar_out, int32_t cap) {
+    const int32_t nb = (m + 63) >> 6;
+    ws.peq.assign(static_cast<size_t>(5) * nb, 0);
+    for (int32_t r = 0; r < m; ++r) {
+        int8_t c = q[r];
+        if (c >= 0 && c < 4)
+            ws.peq[static_cast<size_t>(c) * nb + (r >> 6)] |= 1ull << (r & 63);
+        // q==4 (N) never matches; peq[4] stays 0 so t==N matches nothing
+    }
+    ws.Pv.assign(nb, ~0ull);
+    ws.Mv.assign(nb, 0);
+    ws.Score.resize(nb);
+    for (int32_t b = 0; b < nb; ++b) ws.Score[b] = (b + 1) * 64;
+    ws.colFirst.assign(n + 1, 0);
+    ws.colLast.assign(n + 1, -1);
+    ws.colBase.assign(n + 1, 0);
+    ws.trPv.clear(); ws.trMv.clear(); ws.trScore.clear();
+    const int32_t maxBlocksCol = std::min<int64_t>(nb, (2 * half) / 64 + 2);
+    ws.trPv.reserve(static_cast<size_t>(n + 1) * maxBlocksCol);
+    ws.trMv.reserve(static_cast<size_t>(n + 1) * maxBlocksCol);
+    ws.trScore.reserve(static_cast<size_t>(n + 1) * maxBlocksCol);
+
+    // answer row m: D[m][j] from the block containing row m
+    const int32_t lb = (m - 1) >> 6;
+    const int32_t shm = m - lb * 64;  // in [1, 64]
+    const uint64_t maskm = shm >= 64 ? 0ull : (~0ull << shm);
+    int32_t best = INF, jbest = 0;
+    if (0 >= m + pad - half) { best = m; jbest = 0; }  // j=0 in row-m band
+
+    int32_t bl_prev = -1;
+    for (int32_t j = 1; j <= n; ++j) {
+        // band rows for this column: [j-pad-half, j-pad+half] clamped
+        int32_t rl = j - pad - half, rh = j - pad + half;
+        if (rh < 1 || rl > m) { ws.colLast[j] = -1; continue; }
+        int32_t bf = rl <= 1 ? 0 : (rl - 1) >> 6;
+        int32_t bl = std::min(nb - 1, (std::min(rh, m) - 1) >> 6);
+        if (bf > bl) { ws.colLast[j] = -1; continue; }
+        // blocks entering at the bottom: column-(j-1) state continues the
+        // insert run down from the block above (D[r][j-1] = r-ish)
+        for (int32_t b = std::max(bl_prev + 1, bf); b <= bl; ++b) {
+            ws.Pv[b] = ~0ull;
+            ws.Mv[b] = 0;
+            ws.Score[b] = (b > 0 ? ws.Score[b - 1] : 0) + 64;
+        }
+        bl_prev = std::max(bl_prev, bl);
+
+        const int8_t c = t[j - 1];
+        const uint64_t* eq = &ws.peq[static_cast<size_t>(c) * nb];
+        // top boundary: block 0 gets the free leading-gap row (hin 0);
+        // a trimmed band top feeds +1/column (the frozen wall)
+        int hin = bf == 0 ? 0 : 1;
+        for (int32_t b = bf; b <= bl; ++b) {
+            hin = myers_block(ws.Pv[b], ws.Mv[b], eq[b], hin);
+            ws.Score[b] += hin;
+        }
+        ws.colFirst[j] = bf;
+        ws.colLast[j] = bl;
+        ws.colBase[j] = static_cast<int32_t>(ws.trScore.size());
+        for (int32_t b = bf; b <= bl; ++b) {
+            ws.trPv.push_back(ws.Pv[b]);
+            ws.trMv.push_back(ws.Mv[b]);
+            ws.trScore.push_back(ws.Score[b]);
+        }
+        if (lb >= bf && lb <= bl && m >= rl && m <= rh) {
+            int32_t sm = ws.Score[lb]
+                - __builtin_popcountll(ws.Pv[lb] & maskm)
+                + __builtin_popcountll(ws.Mv[lb] & maskm);
+            if (sm < best) { best = sm; jbest = j; }
+        }
+    }
+
+    AlnResult res{best, 0, 0, 0};
+    if (best >= INF) return res;
+
+    // D[r][j] from the stored column state; INF when outside the band
+    auto cell = [&](int32_t r, int32_t j) -> int32_t {
+        if (r == 0) return 0;          // free leading target gap row
+        if (j == 0) return r;          // empty-text column
+        if (ws.colLast[j] < 0) return INF;
+        int32_t B = (r - 1) >> 6;
+        if (B < ws.colFirst[j] || B > ws.colLast[j]) return INF;
+        size_t idx = static_cast<size_t>(ws.colBase[j]) + (B - ws.colFirst[j]);
+        int32_t sh = r - B * 64;       // in [1, 64]
+        uint64_t mask = sh >= 64 ? 0ull : (~0ull << sh);
+        return ws.trScore[idx]
+            - __builtin_popcountll(ws.trPv[idx] & mask)
+            + __builtin_popcountll(ws.trMv[idx] & mask);
+    };
+
+    int32_t i = m, j = jbest, s = best;
+    res.tend = j;
+    int32_t nc = 0;
+    uint32_t last_op = 255, run = 0;
+    auto push = [&](uint32_t op) {
+        if (op == last_op) { ++run; return true; }
+        if (last_op != 255) {
+            if (nc >= cap) return false;
+            cigar_out[nc++] = (run << 4) | last_op;
+        }
+        last_op = op; run = 1; return true;
+    };
+    bool ok = true;
+    while (i > 0 && ok) {
+        if (j >= 1) {
+            int32_t d = cell(i - 1, j - 1);
+            if (d < INF) {
+                int32_t sub = (q[i - 1] == t[j - 1] && q[i - 1] < 4) ? 0 : 1;
+                if (d + sub == s) { ok = push(0); --i; --j; s = d; continue; }
+            }
+            int32_t u = cell(i - 1, j);
+            if (u < INF && u + 1 == s) { ok = push(1); --i; s = u; continue; }
+            int32_t l = cell(i, j - 1);
+            if (l < INF && l + 1 == s) { ok = push(2); --j; s = l; continue; }
+            // band-edge fallback (frozen-wall scores have no exact
+            // predecessor): take any stored predecessor, diagonal first
+            if (d < INF) { ok = push(0); --i; --j; s = d; continue; }
+            if (u < INF) { ok = push(1); --i; s = u; continue; }
+        } else {
+            int32_t u = cell(i - 1, 0);
+            if (u + 1 == s || true) { ok = push(1); --i; s = u; continue; }
+        }
+        ok = push(1); --i; --s;  // last resort: consume query
+    }
+    if (ok && last_op != 255 && nc < cap) cigar_out[nc++] = (run << 4) | last_op;
+    res.tstart = j;
+    res.n_cigar = ok ? nc : 0;
+    res.cost = best;
+    return res;
+}
+
 }  // namespace
 
 extern "C" {
@@ -164,6 +335,7 @@ extern "C" {
 // Outputs per read: cost, tstart/tend (global coords), cigar ops packed
 // (len<<4 | op; op 0=M 1=I 2=D) in reverse order into cigar_buf at
 // cigar_cap*r, count in cigar_len (0 => failed/overflow).
+// Production path: bit-parallel Myers blocks (see banded_myers above).
 void banded_align_batch(const int8_t* queries, const int64_t* q_off, int32_t n,
                         const int8_t* target, int64_t /*t_len*/,
                         const int64_t* win_start, const int64_t* win_end,
@@ -171,6 +343,43 @@ void banded_align_batch(const int8_t* queries, const int64_t* q_off, int32_t n,
                         int32_t n_threads,
                         int32_t* cost, int64_t* tstart, int64_t* tend,
                         uint32_t* cigar_buf, int32_t cigar_cap, int32_t* cigar_len) {
+    std::atomic<int32_t> next{0};
+    auto worker = [&]() {
+        MyersWS ws;
+        for (;;) {
+            int32_t r = next.fetch_add(1);
+            if (r >= n) break;
+            int32_t m = static_cast<int32_t>(q_off[r + 1] - q_off[r]);
+            int64_t ws_ = win_start[r], we_ = win_end[r];
+            int32_t wn = static_cast<int32_t>(we_ - ws_);
+            if (m <= 0 || wn <= 0) { cigar_len[r] = 0; cost[r] = -1; continue; }
+            AlnResult res = banded_myers(queries + q_off[r], m, target + ws_, wn,
+                                         half_band[r], pad[r], ws,
+                                         cigar_buf + static_cast<size_t>(r) * cigar_cap,
+                                         cigar_cap);
+            cost[r] = res.cost >= INF ? -1 : res.cost;
+            tstart[r] = ws_ + res.tstart;
+            tend[r] = ws_ + res.tend;
+            cigar_len[r] = res.n_cigar;
+        }
+    };
+    int32_t nt = std::max(1, n_threads);
+    std::vector<std::thread> threads;
+    for (int32_t i = 1; i < nt; ++i) threads.emplace_back(worker);
+    worker();
+    for (auto& th : threads) th.join();
+}
+
+// Strict-band 3-pass scalar kernel, kept as the cross-check oracle for the
+// Myers path (tests/test_native_host.py): same model with exact band edges.
+void banded_align_batch_scalar(const int8_t* queries, const int64_t* q_off,
+                               int32_t n, const int8_t* target, int64_t,
+                               const int64_t* win_start, const int64_t* win_end,
+                               const int32_t* pad, const int32_t* half_band,
+                               int32_t n_threads,
+                               int32_t* cost, int64_t* tstart, int64_t* tend,
+                               uint32_t* cigar_buf, int32_t cigar_cap,
+                               int32_t* cigar_len) {
     std::atomic<int32_t> next{0};
     auto worker = [&]() {
         Workspace ws;

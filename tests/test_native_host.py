@@ -181,3 +181,94 @@ def test_build_packed_runs_skips_unknown_contigs(rng):
     b = _build_packed_runs_numpy(layout, [(rec, rows, seqs, quals)], None)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, np.asarray(y, x.dtype))
+
+
+def test_myers_dp_matches_scalar_band_oracle():
+    """The production bit-parallel Myers kernel must agree with the
+    strict-band 3-pass scalar kernel (kept in the .so as the oracle) on
+    cost, and emit internally consistent CIGARs (spans + recomputed cost).
+    The Myers band is block-granular/permissive, so cost <= scalar is the
+    contract; on well-centred ONT-like jobs it is equal in practice."""
+    import ctypes
+
+    from bossruns_tpu.aligner import native
+
+    lib = native._load()
+    if not lib:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    lib.banded_align_batch_scalar.argtypes = lib.banded_align_batch.argtypes
+    lib.banded_align_batch_scalar.restype = None
+
+    rng = np.random.default_rng(7)
+    target = rng.integers(0, 4, 400_000).astype(np.int8)
+    half, err, n = 96, 0.12, 64
+    qs, offs, ws_, we_, pads = [], [0], [], [], []
+    for _ in range(n):
+        m = max(60, int(rng.normal(1500, 500)))
+        ts = int(rng.integers(half + 20, target.shape[0] - 2 * m - half - 600))
+        q, i = [], ts
+        while len(q) < m:
+            u = rng.random()
+            if u < err / 3:
+                i += 1
+            elif u < 2 * err / 3:
+                q.append(int(rng.integers(0, 4)))
+            elif u < err:
+                q.append(int((target[i] + 1 + rng.integers(0, 3)) % 4))
+                i += 1
+            else:
+                q.append(int(target[i]))
+                i += 1
+        qs.append(np.array(q, np.int8))
+        offs.append(offs[-1] + len(q))
+        ws_.append(ts - half - 16)
+        we_.append(ts + len(q) + half + 16)
+        pads.append(half + 16)
+    q_cat = np.concatenate(qs)
+    q_off = np.array(offs, np.int64)
+    win_s = np.array(ws_, np.int64)
+    win_e = np.array(we_, np.int64)
+    pad = np.array(pads, np.int32)
+    halfa = np.full(n, half, np.int32)
+
+    def run(fn):
+        cost = np.empty(n, np.int32)
+        ts = np.empty(n, np.int64)
+        te = np.empty(n, np.int64)
+        cap = 8192
+        cbuf = np.zeros((n, cap), np.uint32)
+        clen = np.zeros(n, np.int32)
+        c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        fn(c(q_cat), c(q_off), n, c(target), len(target), c(win_s), c(win_e),
+           c(pad), c(halfa), 2, c(cost), c(ts), c(te), c(cbuf), cap, c(clen))
+        return cost, ts, te, cbuf, clen
+
+    cm, tsm, tem, cbm, clm = run(lib.banded_align_batch)
+    cs, _, _, _, _ = run(lib.banded_align_batch_scalar)
+    assert ((cm <= cs) | (cs < 0)).all()
+    assert (cm == cs).mean() > 0.95
+    for r in range(n):
+        assert clm[r] > 0
+        cig = cbm[r, : clm[r]][::-1]
+        lens = (cig >> 4).astype(np.int64)
+        ops = cig & 0xF
+        m = int(q_off[r + 1] - q_off[r])
+        assert int(lens[ops != 2].sum()) == m  # M+I spans the query
+        assert tsm[r] + int(lens[ops != 1].sum()) == tem[r]  # M+D spans target
+        ql = q_cat[q_off[r] : q_off[r + 1]]
+        i, j, c2 = 0, int(tsm[r]), 0
+        for L, o in zip(lens, ops):
+            if o == 0:
+                sq, st = ql[i : i + L], target[j : j + L]
+                c2 += int((~((sq == st) & (sq < 4))).sum())
+                i += L
+                j += L
+            elif o == 1:
+                c2 += int(L)
+                i += L
+            else:
+                c2 += int(L)
+                j += L
+        assert c2 == cm[r]  # CIGAR replays to the reported cost
