@@ -37,6 +37,20 @@ _RC = np.array([3, 2, 1, 0, 4], dtype=np.int8)
 
 LENGTH_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384, 32768)
 
+#: fixed read-row count per length bucket (the big tier). Seeding shapes are
+#: (rows, L) and every distinct shape costs a full remote XLA compile
+#: (~60-80 s on the tunneled axon toolchain) — pow2-of-group-size rows made
+#: the shape universe depend on each corpus's read-length mix, so every new
+#: workload recompiled. Two tiers per bucket (64-row small tier for tiny
+#: calls, this big tier otherwise, groups chunked at the big tier) bound the
+#: universe at 14 shapes total, all persistent-cache-stable across runs.
+#: Sized for ~2M read positions per call so one call's seeding stays a few
+#: hundred ms while batches of thousands of reads need only a handful of
+#: pipelined dispatches.
+BUCKET_ROWS = {512: 4096, 1024: 2048, 2048: 1024, 4096: 512,
+               8192: 256, 16384: 128, 32768: 64}
+SMALL_ROWS = 64
+
 
 def encode(seq: str) -> np.ndarray:
     return _ENC[np.frombuffer(seq.encode(), dtype=np.uint8)]
@@ -108,7 +122,10 @@ class TpuAligner:
                 L = b
                 break
         L = L or LENGTH_BUCKETS[-1]
-        rows = 1 << max(4, int(np.ceil(np.log2(max(len(enc_reads), 1)))))
+        # two fixed row tiers per bucket (see BUCKET_ROWS): the caller chunks
+        # groups at BUCKET_ROWS[L], so len(enc_reads) always fits
+        rows = SMALL_ROWS if len(enc_reads) <= SMALL_ROWS else BUCKET_ROWS[L]
+        assert len(enc_reads) <= rows, (len(enc_reads), rows, L)
         mat = np.full((rows, L), 4, np.int8)
         for r, e in enumerate(enc_reads):
             mat[r, : min(e.shape[0], L)] = e[:L]
@@ -163,7 +180,7 @@ class TpuAligner:
                 b = next((x for x in LENGTH_BUCKETS if ln <= x), LENGTH_BUCKETS[-1])
                 if Lmax is None:
                     Lmax = b
-                if b != Lmax or len(group) >= 4096:
+                if b != Lmax or len(group) >= BUCKET_ROWS[Lmax]:
                     break
                 group.append(order[j])
                 j += 1
