@@ -147,6 +147,16 @@ def section_aeons(tmp: Path):
     }), flush=True)
 
 
+def section_scale():
+    """Chromosome-scale single-chip point (VERDICT r2 item 4: driver-visible
+    scale): the full jitted step on a 134 Mb genome — the largest
+    single-chip size from scripts/bench_scale.py — emitted as a BENCH line."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
+    from bench_scale import one_size
+
+    print(json.dumps(one_size(134.0)), flush=True)
+
+
 def main():
     import tempfile
 
@@ -164,7 +174,8 @@ def main():
         with tempfile.TemporaryDirectory(prefix="boss_bench_") as td:
             for section in (section_aligner,
                             lambda: section_sim(Path(td)),
-                            lambda: section_aeons(Path(td))):
+                            lambda: section_aeons(Path(td)),
+                            section_scale):
                 try:
                     section()
                 except Exception as e:  # a section must not kill the headline
@@ -197,6 +208,23 @@ def main():
         times.append(time.perf_counter() - t0)
     tpu_p50 = float(np.median(times)) * 1000.0
 
+    # -- f32 decision path (VERDICT r2 item 6: what the f64 exactness
+    #    contract costs; identical math apart from benefit/threshold dtype) --
+    from bossruns_tpu.models.runs import RunsConfig
+
+    eng32 = RunsEngine(layout, config=RunsConfig(benefit_dtype="float32"))
+    params32 = eng32.make_params(CCL, TIME_COST)
+    st32 = eng32.init_state()
+    st32, aux32 = eng32.step(st32, batch, params32)
+    eng32.pull_aux(aux32)
+    t32 = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        st32, aux32 = eng32.step(st32, batch, params32)
+        eng32.pull_aux(aux32)
+        t32.append(time.perf_counter() - t0)
+    f32_p50 = float(np.median(t32)) * 1000.0
+
     # -- CPU f64 baseline (one step, same pipeline) -------------------------
     st_np = {
         "coverage": np.zeros((1, 5, layout.G_pad), np.int32),
@@ -227,6 +255,8 @@ def main():
                     "bases_per_batch": total_bases,
                     "reads_per_s": round(N_READS / (tpu_p50 / 1000.0), 1),
                     "cpu_baseline_ms": round(cpu_ms, 1),
+                    "f64_ms": round(tpu_p50, 3),
+                    "f32_ms": round(f32_p50, 3),
                 },
             }
         )

@@ -11,9 +11,16 @@ for AEONS sims, min alignment length mu/2), but batched on device instead of
 per-read C calls under a thread pool.
 
 Parity note (SURVEY.md §7.6): exact minimap2 output equality is not a goal —
-decision-level parity (same locus/strand, CIGAR-accurate coverage) is. Reads
-get one primary alignment (the best voted diagonal); mapq encodes uniqueness
-of the winning diagonal cluster.
+decision-level parity (same locus/strand, CIGAR-accurate coverage) is. Like
+the reference's Mapper (which keeps every minimap2 record per read,
+boss/mapper.py:52-65), reads can yield MULTIPLE alignments: the top voted
+diagonal clusters are DP-extended; split (chimeric) reads produce several
+primary records over disjoint query spans, repeat copies produce secondary
+records. map_sequences drops secondaries by default — matching the
+reference's primary-only parse (boss/paf.py:652-672) — while the live
+mapper plugin keeps them so multi_on/multi_off decisions stay reachable
+(boss/dynamic_readfish.py:229-247). mapq encodes uniqueness of a record's
+diagonal cluster against competing clusters over the same query span.
 """
 from __future__ import annotations
 
@@ -25,7 +32,7 @@ from ..io.paf import PafRecords
 from ..models.layout import GenomeLayout
 from . import native
 from .index import K, MinimizerIndex, W, build_index, load_or_build_index
-from .seed import DeviceIndex, seed_and_vote
+from .seed import NCAND, SEED_FIELDS, DeviceIndex, seed_and_vote
 
 logger = logging.getLogger("boss_tpu")
 
@@ -43,7 +50,8 @@ LENGTH_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384, 32768)
 #: the shape universe depend on each corpus's read-length mix, so every new
 #: workload recompiled. Two tiers per bucket (64-row small tier for tiny
 #: calls, this big tier otherwise, groups chunked at the big tier) bound the
-#: universe at 14 shapes total, all persistent-cache-stable across runs.
+#: universe at 13 distinct shapes (the 32768 bucket's big tier coincides
+#: with the small tier), all persistent-cache-stable across runs.
 #: Sized for ~2M read positions per call so one call's seeding stays a few
 #: hundred ms while batches of thousands of reads need only a handful of
 #: pipelined dispatches.
@@ -51,9 +59,28 @@ BUCKET_ROWS = {512: 4096, 1024: 2048, 2048: 1024, 4096: 512,
                8192: 256, 16384: 128, 32768: 64}
 SMALL_ROWS = 64
 
+#: overlapping-span competitor candidates are DP-extended (and may be emitted
+#: as secondary records) only at >= this vote ratio vs the best candidate
+#: (minimap2's pri_ratio analogue); disjoint-span (split-read) candidates
+#: bypass the ratio — each segment is its own primary.
+SECONDARY_RATIO = 0.5
+#: max alignment records attempted per read
+MAX_ALIGNS = NCAND
+#: minimum query-span overlap fraction for two candidates to count as
+#: alternatives of each other (vs segments of a split read)
+OVERLAP_FRAC = 0.5
+
 
 def encode(seq: str) -> np.ndarray:
     return _ENC[np.frombuffer(seq.encode(), dtype=np.uint8)]
+
+
+def _overlap_frac(a: tuple[int, int], b: tuple[int, int]) -> float:
+    """Overlap of two query intervals as a fraction of the shorter one."""
+    inter = min(a[1], b[1]) - max(a[0], b[0])
+    if inter <= 0:
+        return 0.0
+    return inter / max(1, min(a[1] - a[0], b[1] - b[0]))
 
 
 class TpuAligner:
@@ -113,7 +140,7 @@ class TpuAligner:
         result: jit dispatch is async, so several buckets' kernels queue on
         the device while the host runs banded DP on earlier buckets
         (map_sequences pipelines pull->jobs->DP per bucket)."""
-        from .seed import _seed_and_vote_jit, anchor_budget, pack_reads
+        from .seed import _seed_topn_jit, anchor_budget, pack_reads
 
         lens = np.array([e.shape[0] for e in enc_reads], np.int32)
         L = 0
@@ -129,22 +156,22 @@ class TpuAligner:
         mat = np.full((rows, L), 4, np.int8)
         for r, e in enumerate(enc_reads):
             mat[r, : min(e.shape[0], L)] = e[:L]
-        lens_p = np.zeros(rows, np.int32)
-        lens_p[: lens.shape[0]] = np.minimum(lens, L)
         di = self.dev_index
-        return _seed_and_vote_jit(
-            pack_reads(mat), lens_p, di.keys, di.pos_packed,
-            di.k, di.w, anchor_budget(L, di.w), L,
+        return _seed_topn_jit(
+            pack_reads(mat), di.keys, di.pos_packed,
+            di.k, di.w, anchor_budget(L, di.w), L, NCAND,
         )
 
     @staticmethod
     def _pull_seeds(out_dev, n: int):
-        """Block on one bucket's kernel and unpack its [6, R] result."""
+        """Block on one bucket's kernel and unpack its
+        [len(SEED_FIELDS) * NCAND, rows] result to field -> [n, NCAND]."""
         packed = np.asarray(out_dev)
-        names = ("mapped", "strand", "tstart", "votes", "second", "dspan")
-        out = {key: packed[i][:n] for i, key in enumerate(names)}
-        out["mapped"] = out["mapped"].astype(bool)
-        return out
+        nf = len(SEED_FIELDS)
+        return {
+            f: np.stack([packed[c * nf + i][:n] for c in range(NCAND)], axis=1)
+            for i, f in enumerate(SEED_FIELDS)
+        }
 
     def _seed_bucket(self, enc_reads: list[np.ndarray]):
         return self._pull_seeds(self._seed_bucket_dispatch(enc_reads), len(enc_reads))
@@ -152,12 +179,16 @@ class TpuAligner:
     # ----------------------------------------------------------- mapping ----
 
     def map_sequences(self, sequences: dict[str, str], trunc: bool = False,
-                      min_len: int | None = None) -> PafRecords:
+                      min_len: int | None = None,
+                      all_records: bool = False) -> PafRecords:
         """Align a batch; returns records with target-forward CIGARs.
 
         trunc: align only the first mu bases (AEONS sim truncation,
         mapper.py:60-62). min_len: drop alignments spanning less target than
-        this (defaults to mu/2 like mapper.py:64).
+        this (defaults to mu/2 like mapper.py:64). all_records: keep
+        secondary alignments (primary flag 0) — by default they are dropped,
+        matching the reference's primary-only PAF parse (boss/paf.py:652-672);
+        split-read segments are primary and always kept.
         """
         min_len = int(self.mu / 2) if min_len is None else min_len
         rids = list(sequences)
@@ -198,7 +229,8 @@ class TpuAligner:
                 g: {k: v[slot] for k, v in seeds.items()}
                 for slot, g in enumerate(group)
             }
-            self._extend_bucket(rids, enc, results, min_len, rows, cigs)
+            self._extend_bucket(rids, enc, results, min_len, rows, cigs,
+                                all_records)
 
         return PafRecords(
             qname=np.array(rows["qname"], dtype=object),
@@ -219,55 +251,147 @@ class TpuAligner:
             cigars=cigs,
         )
 
-    def _extend_bucket(self, rids, enc, results, min_len, rows, cigs) -> None:
+    def _candidate_jobs(self, g: int, rd: dict, q0: np.ndarray, min_len: int):
+        """Select DP-worthy candidates for one read and build their jobs.
+
+        Candidate 0 always qualifies (if voted enough); later candidates
+        qualify as split-read segments (disjoint query span — each its own
+        primary) or as repeat alternatives at >= SECONDARY_RATIO of the best
+        vote count (minimap2's pri_ratio analogue).
+
+        Query windows: a lone candidate (or overlapping alternatives) always
+        extends the FULL read — seed spans routinely undershoot the true
+        alignment by hundreds of bases at ONT error rates, so a fixed span
+        margin would mis-clip normal reads. Only when ≥2 DISJOINT candidates
+        claim different parts of the read (actual split evidence) is the
+        query partitioned, at the midpoints between adjacent seed spans —
+        a full-read band cannot absorb a multi-kb soft clip (the clip's
+        query bases consume no target, drifting off the band), a partition
+        window can.
+        """
+        m = q0.shape[0]
+        k = self.index.k
+        votes = rd["votes"]
+        cands: list[tuple[int, tuple[int, int]]] = []  # (cand idx, seed span)
+        for c in range(votes.shape[0]):
+            vi = int(votes[c])
+            if vi < self.min_votes:
+                break  # peeled in descending vote order
+            span_c = (int(rd["qmin"][c]), min(m, int(rd["qmax"][c]) + k))
+            if cands:
+                ov = max(_overlap_frac(span_c, s) for _, s in cands)
+                if ov >= OVERLAP_FRAC and vi < SECONDARY_RATIO * int(votes[0]):
+                    continue
+            cands.append((c, span_c))
+            if len(cands) >= MAX_ALIGNS:
+                break
+
+        jobs = []
+        for c, span_c in cands:
+            # query window: full read, cut back to the midpoint toward any
+            # DISJOINT sibling candidate on either side
+            qs, qe = 0, m
+            ctr = span_c[0] + span_c[1]
+            for c2, span2 in cands:
+                if c2 == c or _overlap_frac(span_c, span2) >= OVERLAP_FRAC:
+                    continue
+                if span2[0] + span2[1] < ctr:   # sibling is left of us
+                    qs = max(qs, min(span_c[0], (span2[1] + span_c[0]) // 2))
+                else:
+                    qe = min(qe, max(span_c[1], (span_c[1] + span2[0]) // 2))
+            slen = qe - qs
+            if slen < 50:
+                continue
+            strand_c = int(rd["strand"][c])
+            bkey = int(rd["bkey"][c])
+            # band width from the OBSERVED indel drift (diagonal cluster
+            # spread) + margin, instead of a worst-case 2% of read length:
+            # typical ONT drift keeps the band near the 64 floor, ~2-4x less
+            # DP work on long reads. Split segments widen the band by the
+            # window's overhang past the seeds, so an unaligned junction
+            # flank can soft-clip within the band.
+            dspan = int(rd["dspan"][c])
+            overhang = 0
+            if len(cands) > 1:
+                overhang = max(span_c[0] - qs, qe - span_c[1], 0) \
+                    if (qs > 0 or qe < m) else 0
+            half = int(np.clip(dspan // 2 + 48 + 0.005 * slen + overhang, 64, 1024))
+            seg = q0[qs:qe]
+            if strand_c:
+                seg = _RC[np.minimum(seg, 4)][::-1].copy()
+            # diagonal -> predicted target start of the SEGMENT: a fwd
+            # cluster's diagonal is (target pos - read pos), a rev cluster's
+            # (target pos + read pos) with the k-mer span correction
+            ts_pred = bkey + qs if not strand_c else bkey - qe + k
+            # clamp the window to the candidate's contig block so the DP
+            # never wanders into inter-contig padding
+            cid = int(np.searchsorted(self._block_starts, max(ts_pred, 0), side="right") - 1)
+            cid = min(max(cid, 0), len(self.layout.names) - 1)
+            blk_s, blk_e = int(self._block_starts[cid]), int(self._block_ends[cid])
+            ws = max(blk_s, ts_pred - half - 16)
+            we = min(blk_e, ts_pred + slen + half + 16)
+            if we - ws < min_len:
+                continue
+            jobs.append((g, c, seg, ws, we, max(0, ts_pred - ws), half, qs, qe))
+        return jobs
+
+    def _mapq(self, rd: dict, c: int, m: int) -> int:
+        """Uniqueness-based mapq of candidate c, calibrated to minimap2's
+        scale at the decision thresholds (q>=20/30/40, boss/paf.py:709-722
+        keys its tie-break on this): unique well-voted reads -> 60, a repeat
+        with an equal-vote twin -> 0. Competitors are other voted clusters
+        over (>= OVERLAP_FRAC of) the same query span — split-read segments
+        do NOT lower each other's mapq, matching minimap2's per-chain mapq.
+        """
+        k = self.index.k
+        votes = rd["votes"]
+        vi = int(votes[c])
+        span_c = (int(rd["qmin"][c]), min(m, int(rd["qmax"][c]) + k))
+        second = 0
+        for c2 in range(votes.shape[0]):
+            v2 = int(votes[c2])
+            if c2 == c or v2 <= 0:
+                continue
+            span2 = (int(rd["qmin"][c2]), min(m, int(rd["qmax"][c2]) + k))
+            if _overlap_frac(span_c, span2) >= OVERLAP_FRAC:
+                second = max(second, v2)
+        uniq = 1.0 - min(1.0, second / max(1, vi))
+        if vi >= 2 * self.min_votes:
+            return int(min(60, 60 * uniq))
+        return int(30 * uniq)
+
+    def _extend_bucket(self, rids, enc, results, min_len, rows, cigs,
+                       all_records: bool = False) -> None:
         """Banded-DP extension + record assembly for one bucket's seeds
         (host work — runs while later buckets' seeding kernels execute on
         the device)."""
         jobs = []
         for g, rd in results.items():
-            if not rd["mapped"] or rd["votes"] < self.min_votes:
+            if rd["votes"][0] < self.min_votes:
                 continue
-            q = enc[g]
-            m = q.shape[0]
-            if m < 50:
+            q0 = enc[g]
+            if q0.shape[0] < 50:
                 continue
-            if rd["strand"]:
-                q = _RC[np.minimum(q, 4)][::-1].copy()
-            # band width from the OBSERVED indel drift (winning diagonal
-            # cluster spread) + margin, instead of a worst-case 2% of read
-            # length: typical ONT drift keeps the band near the 64 floor,
-            # ~2-4x less DP work on long reads
-            span = int(rd.get("dspan", 0))
-            half = int(np.clip(span // 2 + 48 + 0.005 * m, 64, 1024))
-            ts_pred = int(rd["tstart"])
-            # clamp the window to the candidate's contig block so the DP never
-            # wanders into inter-contig padding
-            cid = int(np.searchsorted(self._block_starts, max(ts_pred, 0), side="right") - 1)
-            cid = min(max(cid, 0), len(self.layout.names) - 1)
-            blk_s, blk_e = int(self._block_starts[cid]), int(self._block_ends[cid])
-            ws = max(blk_s, ts_pred - half - 16)
-            we = min(blk_e, ts_pred + m + half + 16)
-            if we - ws < min_len:
-                continue
-            jobs.append((g, q, ws, we, max(0, ts_pred - ws), half))
+            jobs.extend(self._candidate_jobs(g, rd, q0, min_len))
         if not jobs:
             return
 
-        q_cat = np.concatenate([j[1] for j in jobs]).astype(np.int8)
-        q_off = np.concatenate([[0], np.cumsum([j[1].shape[0] for j in jobs])]).astype(np.int64)
-        win_s = np.array([j[2] for j in jobs], np.int64)
-        win_e = np.array([j[3] for j in jobs], np.int64)
-        pad = np.array([j[4] for j in jobs], np.int32)
-        half = np.array([j[5] for j in jobs], np.int32)
+        q_cat = np.concatenate([j[2] for j in jobs]).astype(np.int8)
+        q_off = np.concatenate([[0], np.cumsum([j[2].shape[0] for j in jobs])]).astype(np.int64)
+        win_s = np.array([j[3] for j in jobs], np.int64)
+        win_e = np.array([j[4] for j in jobs], np.int64)
+        pad = np.array([j[5] for j in jobs], np.int32)
+        half = np.array([j[6] for j in jobs], np.int32)
         cost, tstart, tend, cigars = native.align_batch(
             q_cat, q_off, self.target, win_s, win_e, pad, half, self.threads
         )
 
-        for jix, (g, q, *_rest) in enumerate(jobs):
+        per_read: dict[int, list[dict]] = {}
+        for jix, (g, c, seg, _ws, _we, _pad, _half, qs, qe) in enumerate(jobs):
             if cost[jix] < 0 or cigars[jix].size == 0:
                 continue
-            m = q.shape[0]
-            if cost[jix] / m > self.max_divergence:
+            slen = seg.shape[0]
+            if cost[jix] / slen > self.max_divergence:
                 continue
             cig = cigars[jix]  # packed uint32, forward order
             lens_a = (cig >> 4).astype(np.int64)
@@ -287,8 +411,7 @@ class TpuAligner:
                 continue
             cig, lens_a, ops_a = cig[lo:hi], lens_a[lo:hi], ops_a[lo:hi]
             ts, te = int(tstart[jix]), int(tend[jix])
-            span = te - ts
-            if span < min_len:
+            if te - ts < min_len:
                 continue
             cid = int(np.searchsorted(self._block_starts, ts, side="right") - 1)
             if cid < 0 or ts >= self._block_ends[cid] or te > self._block_ends[cid]:
@@ -301,30 +424,52 @@ class TpuAligner:
             mism = int(cost[jix]) - (n_i + n_d + s_al + e_clip)
             nmatch = max(0, n_m - max(0, mism))
             rd = results[g]
-            uniq = 1.0 - min(1.0, rd["second"] / max(1, rd["votes"]))
-            mapq = int(min(60, 60 * uniq)) if rd["votes"] >= 2 * self.min_votes else int(30 * uniq)
-            e_al = m - e_clip
-            if rd["strand"]:
-                qstart, qend = m - e_al, m - s_al
+            m = enc[g].shape[0]
+            strand_c = int(rd["strand"][c])
+            # segment-local clips -> global read coordinates (rev segments
+            # were RC'd, so their head clip sits at the segment's END)
+            if strand_c:
+                qstart, qend = qs + e_clip, qe - s_al
             else:
-                qstart, qend = s_al, e_al
+                qstart, qend = qs + s_al, qe - e_clip
             off = int(self._block_starts[cid])
-            rows["qname"].append(rids[g])
-            rows["qlen"].append(m)
-            rows["qstart"].append(qstart)
-            rows["qend"].append(qend)
-            rows["rev"].append(int(rd["strand"]))
-            rows["tname"].append(self.layout.names[cid])
-            rows["tlen"].append(int(self.layout.lengths[cid]))
-            rows["tstart"].append(ts - off)
-            rows["tend"].append(te - off)
-            rows["nmatch"].append(nmatch)
-            rows["blocklen"].append(n_m + n_i + n_d)
-            rows["mapq"].append(mapq)
-            rows["align_score"].append(2 * nmatch - int(cost[jix]))
-            rows["s1"].append(int(rd["votes"]))
-            rows["primary"].append(1)
-            cigs.append(cig)  # packed uint32; consumers accept it directly
+            per_read.setdefault(g, []).append({
+                "qname": rids[g], "qlen": m, "qstart": qstart, "qend": qend,
+                "rev": strand_c, "tname": self.layout.names[cid],
+                "tlen": int(self.layout.lengths[cid]),
+                "tstart": ts - off, "tend": te - off, "nmatch": nmatch,
+                "blocklen": n_m + n_i + n_d,
+                "mapq": self._mapq(rd, c, m),
+                "align_score": 2 * nmatch - int(cost[jix]),
+                "s1": int(rd["votes"][c]), "cig": cig,
+            })
+
+        for g, recs in per_read.items():
+            # primary flags: best record by (mapq, AS) is primary; further
+            # records are primary (split-read/supplementary) iff their query
+            # span is disjoint from every primary so far, else secondary
+            order = sorted(range(len(recs)),
+                           key=lambda i: (recs[i]["mapq"], recs[i]["align_score"]),
+                           reverse=True)
+            prim_spans: list[tuple[int, int]] = []
+            for i in order:
+                rec = recs[i]
+                span = (rec["qstart"], rec["qend"])
+                if not prim_spans or all(
+                    _overlap_frac(span, s) < OVERLAP_FRAC for s in prim_spans
+                ):
+                    rec["primary"] = 1
+                    prim_spans.append(span)
+                else:
+                    rec["primary"] = 0
+            for rec in recs:
+                if not all_records and not rec["primary"]:
+                    continue
+                for f in ("qname", "qlen", "qstart", "qend", "rev", "tname",
+                          "tlen", "tstart", "tend", "nmatch", "blocklen",
+                          "mapq", "align_score", "s1", "primary"):
+                    rows[f].append(rec[f])
+                cigs.append(rec["cig"])  # packed uint32; consumers accept it
 
 
 def _empty_records() -> PafRecords:

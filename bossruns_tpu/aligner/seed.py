@@ -260,10 +260,28 @@ def _vote(keys_flat, tol=DIAG_TOL):
     return jnp.where(keys_flat < SENTINEL, votes, -1)
 
 
-@partial(jax.jit, static_argnames=("k", "w", "budget", "L"))
-def _seed_and_vote_jit(reads_packed, read_lens, keys, pos_packed,
-                       k: int, w: int = W, budget: int = ANCHOR_BUDGET,
-                       L: int = 0):
+NCAND = 4  # diagonal clusters peeled per read (multi-mapping candidates)
+
+SEED_FIELDS = ("strand", "bkey", "votes", "dspan", "qmin", "qmax")
+
+
+@partial(jax.jit, static_argnames=("k", "w", "budget", "L", "ncand"))
+def _seed_topn_jit(reads_packed, keys, pos_packed,
+                   k: int, w: int = W, budget: int = ANCHOR_BUDGET,
+                   L: int = 0, ncand: int = NCAND):
+    """Top-``ncand`` diagonal clusters per read (multi-mapping seeding).
+
+    The reference's Mapper returns ALL of minimap2's alignments per read
+    (boss/mapper.py:52-65) — split reads yield several primary records and
+    repeats yield secondaries, feeding choose_best_mapper (boss/paf.py:709-722)
+    and the live multi_on/multi_off decisions (boss/dynamic_readfish.py:229-247).
+    Here the vote table is peeled ncand times: each round takes the best
+    remaining cluster jointly across both strand spaces, records
+    (strand, diagonal, votes, diagonal spread, query-span of the cluster's
+    anchors) and masks votes within 2*tol of it on its strand. Output is ONE
+    packed int32 [len(SEED_FIELDS) * ncand, R] (a D2H pull costs a ~33 ms
+    tunnel round trip regardless of size).
+    """
     reads = unpack_reads(reads_packed, L)
     canonical, strand, is_min = read_minimizers(reads, k, w)
     ck, cs, cpos, cvalid = compact_minimizers(canonical, strand, is_min, budget)
@@ -283,62 +301,68 @@ def _seed_and_vote_jit(reads_packed, read_lens, keys, pos_packed,
     diag_r = gpos + cpos[:, :, None]
     key_f0 = jnp.where(occ_ok & same, diag_f, SENTINEL).reshape(r, a * OCC_CAP)
     key_r0 = jnp.where(occ_ok & ~same, diag_r, SENTINEL).reshape(r, a * OCC_CAP)
+    rp0 = jnp.broadcast_to(cpos[:, :, None], (r, a, OCC_CAP)).reshape(r, a * OCC_CAP)
 
     # compact before voting: most anchors have ~1.3 occurrences, so about
-    # 2/3 of the a*OCC_CAP slots are SENTINEL padding. A 1-operand ascending
-    # sort pushes sentinels to the end (SENTINEL > any diagonal); voting on
+    # 2/3 of the a*OCC_CAP slots are SENTINEL padding. An ascending sort
+    # pushes sentinels to the end (SENTINEL > any diagonal); voting on
     # the front half costs ~40% less sort volume than voting padded. The
-    # slot identity is never used downstream — only the key VALUES — so
-    # compaction is transparent. Reads with > a*OCC_CAP/2 real anchor
+    # anchor's read position rides the sort as payload (query spans of each
+    # cluster come from it). Reads with > a*OCC_CAP/2 real anchor
     # occurrences (heavy repeats) lose their largest diagonals, matching
     # minimap2's high-occurrence seed drop in spirit. fwd/rev stack into ONE
-    # sort + ONE vote launch.
+    # sort + ONE vote launch: row i is read i's fwd space, row r+i its rev.
     cw = (a * OCC_CAP) // 2
-    key_fr = jax.lax.sort(jnp.concatenate([key_f0, key_r0], axis=0), dimension=1)[:, :cw]
-    votes_fr = _vote(key_fr)
-    key_f, key_r = key_fr[:r], key_fr[r:]
-    votes_f, votes_r = votes_fr[:r], votes_fr[r:]
-    bf = jnp.argmax(votes_f, axis=1)
-    br = jnp.argmax(votes_r, axis=1)
-    vf = jnp.take_along_axis(votes_f, bf[:, None], axis=1)[:, 0]
-    vr = jnp.take_along_axis(votes_r, br[:, None], axis=1)[:, 0]
-    kf = jnp.take_along_axis(key_f, bf[:, None], axis=1)[:, 0]
-    kr = jnp.take_along_axis(key_r, br[:, None], axis=1)[:, 0]
-
-    rev = vr > vf
-    bvotes = jnp.maximum(vf, vr)
-    bkey = jnp.where(rev, kr, kf)
-    # diagonal spread of the winning cluster: observed indel drift across the
-    # read, used by the extension stage to size the DP band (far tighter than
-    # a worst-case length-proportional band)
-    big = jnp.int32(1 << 30)
-    win_keys = jnp.where(rev[:, None], key_r, key_f)
-    in_cluster = (jnp.abs(win_keys - bkey[:, None]) <= DIAG_TOL) & (win_keys < SENTINEL)
-    dmax = jnp.max(jnp.where(in_cluster, win_keys, -big), axis=1)
-    dmin = jnp.min(jnp.where(in_cluster, win_keys, big), axis=1)
-    dspan = jnp.maximum(dmax - dmin, 0)
-    # runner-up: best vote count far from the winner (either strand)
-    far_f = jnp.abs(key_f - bkey[:, None]) > 2 * DIAG_TOL
-    far_r = jnp.abs(key_r - bkey[:, None]) > 2 * DIAG_TOL
-    far_f = far_f | rev[:, None]       # other strand always counts as distinct
-    far_r = far_r | (~rev[:, None])
-    second = jnp.maximum(
-        jnp.max(jnp.where(far_f, votes_f, -1), axis=1),
-        jnp.max(jnp.where(far_r, votes_r, -1), axis=1),
+    key_fr, rp_fr = (
+        x[:, :cw] for x in jax.lax.sort(
+            (jnp.concatenate([key_f0, key_r0], axis=0),
+             jnp.concatenate([rp0, rp0], axis=0)),
+            num_keys=1, dimension=1,
+        )
     )
+    votes_fr = _vote(key_fr)
 
-    m = read_lens.astype(jnp.int32)
-    tstart = jnp.where(rev, bkey - (m - k), bkey)
-    # ONE packed int32 output [6, R] (a D2H pull costs a ~33 ms tunnel round
-    # trip regardless of size; per-field pulls would dominate the kernel)
-    return jnp.stack([
-        (bvotes > 0).astype(jnp.int32),
-        rev.astype(jnp.int32),
-        tstart,
-        bvotes,
-        jnp.maximum(second, 0),
-        dspan,
-    ])
+    big = jnp.int32(1 << 30)
+    v = votes_fr
+    per_cand = []
+    for _ in range(ncand):
+        b = jnp.argmax(v, axis=1)                                  # [2r]
+        bv = jnp.take_along_axis(v, b[:, None], axis=1)[:, 0]
+        bk = jnp.take_along_axis(key_fr, b[:, None], axis=1)[:, 0]
+        rev = bv[r:] > bv[:r]
+        votes_i = jnp.maximum(bv[:r], bv[r:])
+        key_i = jnp.where(rev, bk[r:], bk[:r])
+        # winner-row mask over the stacked [2r] space
+        chosen = jnp.concatenate([~rev, rev])
+        key_full = jnp.concatenate([key_i, key_i])
+        in_cl = chosen[:, None] & (jnp.abs(key_fr - key_full[:, None]) <= DIAG_TOL) \
+            & (key_fr < SENTINEL)
+        dmax = jnp.max(jnp.where(in_cl, key_fr, -big), axis=1)
+        dmin = jnp.min(jnp.where(in_cl, key_fr, big), axis=1)
+        qmax = jnp.max(jnp.where(in_cl, rp_fr, -big), axis=1)
+        qmin = jnp.min(jnp.where(in_cl, rp_fr, big), axis=1)
+        # non-chosen rows contributed +-big sentinels; the stacked halves
+        # therefore combine with max/min
+        comb_max = lambda x: jnp.maximum(x[:r], x[r:])
+        comb_min = lambda x: jnp.minimum(x[:r], x[r:])
+        # dspan: diagonal spread of the cluster = observed indel drift, used
+        # by the extension stage to size the DP band (far tighter than a
+        # worst-case length-proportional band)
+        dspan = jnp.maximum(comb_max(dmax) - comb_min(dmin), 0)
+        per_cand.append((
+            rev.astype(jnp.int32),
+            key_i,
+            votes_i,
+            dspan,
+            jnp.maximum(comb_min(qmin), 0),
+            jnp.maximum(comb_max(qmax), 0),
+        ))
+        # peel: kill this cluster (and its fringe) on its strand only
+        v = jnp.where(
+            chosen[:, None] & (jnp.abs(key_fr - key_full[:, None]) <= 2 * DIAG_TOL),
+            -1, v,
+        )
+    return jnp.stack([f for cand in per_cand for f in cand])
 
 
 def anchor_budget(L: int, w: int) -> int:
@@ -350,24 +374,27 @@ def anchor_budget(L: int, w: int) -> int:
     return min(_pow2(need, floor=64), ANCHOR_BUDGET)
 
 
-def seed_and_vote(reads, dev_idx: DeviceIndex, read_lens):
-    """[R, L] padded HOST read matrix (int8 codes) -> per-read best
-    candidate dict of [R] arrays. Ships the reads 4-bit packed (pack_reads)."""
+def seed_and_vote(reads, dev_idx: DeviceIndex, ncand: int = NCAND):
+    """[R, L] padded HOST read matrix (int8 codes) -> per-read top-ncand
+    candidate dict of [R, ncand] arrays (fields: SEED_FIELDS). Candidate 0
+    is the best-voted cluster; a read is unmapped when votes[:, 0] <= 0.
+    Ships the reads 4-bit packed (pack_reads)."""
     L = int(reads.shape[1])
-    packed = np.asarray(_seed_and_vote_jit(
+    packed = np.asarray(_seed_topn_jit(
         pack_reads(np.asarray(reads)),
-        read_lens,
         dev_idx.keys,
         dev_idx.pos_packed,
         dev_idx.k,
         dev_idx.w,
         anchor_budget(L, dev_idx.w),
         L,
+        ncand,
     ))  # single D2H transfer
-    names = ("mapped", "strand", "tstart", "votes", "second", "dspan")
-    out = {n: packed[i] for i, n in enumerate(names)}
-    out["mapped"] = out["mapped"].astype(bool)
-    return out
+    nf = len(SEED_FIELDS)
+    return {
+        f: np.stack([packed[c * nf + i] for c in range(ncand)], axis=1)
+        for i, f in enumerate(SEED_FIELDS)
+    }
 
 
 @partial(jax.jit, static_argnames=("k", "ncand", "tol", "w", "budget", "L"))

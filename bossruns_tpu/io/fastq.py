@@ -23,7 +23,7 @@ UNCLASSIFIED_BARCODE = 99  # sampler.py:219
 
 def _open(path: str | Path):
     p = str(path)
-    return gzip.open(p, "rt") if p.endswith(".gz") else open(p, "rt")
+    return gzip.open(p, "rt") if p.endswith((".gz", ".gzip")) else open(p, "rt")
 
 
 def read_fastx(path: str | Path):

@@ -5,7 +5,8 @@ process polls the strategy npz (and, for AEONS, the contig fasta) written by
 the BOSS process, mtime-gated, and resolves each basecalled chunk's first
 mapping to an accept/reject/none decision:
 
-  * mask lookup arr[start // 100, rev] (or [..., barcode]) — :169-210
+  * mask lookup arr[start // 100, rev] (or [..., barcode]), where start is
+    r_st on fwd and r_en on rev strand — :169-210, :229-236
   * a shape-(1,) array means "always reject this contig" — :196-200
   * any error in the lookup fails OPEN (accept) — :187-189, 209-210
   * readfish strand convention 1/-1 maps to boss 0/1 — :40-45
@@ -96,16 +97,19 @@ def make_decision(store: StrategyStore, alignments, seq_len: int,
     (mappy/readfish Result alignment records). Mirrors
     dynamic_readfish.py:213-257.
     """
-    if seq_len == 0:
-        return Decision.no_seq
     alignments = list(alignments)
-    if not alignments:
-        return Decision.no_map
     hits = set()
     for al in alignments:
         reverse = STRAND_CONVERTER.get(al.strand, al.strand)
-        start = al.r_en - 1 if reverse else al.r_st
+        # reference-exact coordinate: r_st on fwd, r_en on rev
+        # (dynamic_readfish.py:233 `coord = al.r_st if al.strand == 1 else
+        # al.r_en` — the exclusive end, not r_en - 1)
+        start = al.r_en if reverse else al.r_st
         hits.add(store.check_coord(al.ctg, start, reverse, barcode))
+    # alignment presence is checked BEFORE sequence length, like the
+    # reference (dynamic_readfish.py:248-252)
+    if not alignments:
+        return Decision.no_map if seq_len > 0 else Decision.no_seq
     if len(alignments) == 1:
         return Decision.single_on if True in hits else Decision.single_off
     return Decision.multi_on if True in hits else Decision.multi_off

@@ -251,6 +251,10 @@ class Analysis:
         # plugins: explicit objects, or loaded from the conf's settings blocks
         self.caller = caller if caller is not None else self._load_caller()
         self.mapper = mapper if mapper is not None else self._load_mapper()
+        # startup descriptions (reference readfish_boss.py:229 caller, :460
+        # mapper)
+        if hasattr(self.caller, "describe"):
+            logger.info(self.caller.describe())
         self.loop_statistics = ReadfishStatistics(debug_log)
         self.chunk_tracker = ChunkTracker(getattr(client, "channel_count", 512))
         self.previous_action_tracker = PreviouslySentActionTracker()
@@ -395,14 +399,16 @@ class Analysis:
             result.decision = Decision.first_read_override
             action = Action.stop_receiving
 
+        # action payloads carry (channel, read_id) — byte-compatible with the
+        # reference's Read Until batches (readfish_boss.py:416-424)
         if action is Action.stop_receiving:
-            stop_receiving_action_list.append((result.channel, result.read_number))
+            stop_receiving_action_list.append((result.channel, result.read_id))
         elif action is Action.unblock:
             if self.dry_run:
                 action_overridden = True
-                stop_receiving_action_list.append((result.channel, result.read_number))
+                stop_receiving_action_list.append((result.channel, result.read_id))
             else:
-                unblock_batch_action_list.append((result.channel, result.read_number))
+                unblock_batch_action_list.append((result.channel, result.read_id))
 
         if action in (Action.unblock, Action.stop_receiving):
             self.previous_action_tracker.add_action(result.channel, action)
@@ -431,6 +437,11 @@ class Analysis:
         None means run until the client stops sequencing."""
         if hasattr(self.client, "mk_run_dir"):
             self.conf.write_channels_toml(self.client.mk_run_dir)
+        if hasattr(self.mapper, "describe"):
+            self.logger.info(self.mapper.describe(
+                getattr(self.conf, "regions", None),
+                getattr(self.conf, "barcodes", None),
+            ))
         loop_counter = 0
         last_live_toml_mtime = 0.0
         self.logger.info("Starting main loop")
@@ -591,6 +602,44 @@ def get_args(arg_list: list | None = None) -> tuple[argparse.ArgumentParser, arg
     return parser, args
 
 
+def _warn_minknow_compatibility(run_logger: logging.Logger, args) -> None:
+    """MinKNOW version gates (reference readfish_boss.py:607-630): warn when
+    the connected MinKNOW is outside readfish's tested compatibility range,
+    and hard-exit below v6 (the reference's critical gate). Uses readfish's
+    own helpers when available; silently skips if they are not (the fake
+    test path), matching the reference's sequencer-host-only check."""
+    try:
+        from packaging.version import Version  # type: ignore
+        from readfish._utils import (  # type: ignore
+            DIRECTION,
+            MINKNOW_COMPATIBILITY_RANGE,
+            check_compatibility,
+            get_minknow_version,
+        )
+    except ImportError:
+        return
+    try:
+        minknow_version = get_minknow_version(host=args.host, port=getattr(args, "port", None))
+    except Exception as e:  # noqa: BLE001 - version probe must never kill the run
+        run_logger.warning(f"could not determine MinKNOW version: {e}")
+        return
+    action = check_compatibility(minknow_version, MINKNOW_COMPATIBILITY_RANGE)
+    if action in (DIRECTION.UPGRADE, DIRECTION.DOWNGRADE):
+        lower_bound, upper_bound = MINKNOW_COMPATIBILITY_RANGE
+        run_logger.warning(
+            f"This readfish_boss build is tested for compatibility with "
+            f"MinKNOW v{lower_bound} to v{upper_bound}; this MinKNOW is "
+            f"{minknow_version}. If the run fails, try to {action.value} "
+            f"readfish."
+        )
+    if minknow_version < Version("6.0.0"):
+        run_logger.critical(
+            f"MinKNOW {minknow_version} is not supported (requires >= 6.0); "
+            "exiting."
+        )
+        raise SystemExit(1)
+
+
 def run(parser, args, extras) -> int | tuple:
     """Entry-point runner (reference readfish_boss.py:590-712): version gate,
     Read Until client, conf load, Analysis. `args.return_conf` returns
@@ -612,6 +661,8 @@ def run(parser, args, extras) -> int | tuple:
             f"readfish/minknow_api are required for live operation ({e}); "
             "this loop is unit-testable via Analysis(client=fake, ...)"
         )
+
+    _warn_minknow_compatibility(run_logger, args)
 
     position = get_device(args.device, host=args.host, port=args.port)
     read_until_client = ReadUntilClient(

@@ -20,7 +20,10 @@ from pathlib import Path
 
 logger = logging.getLogger("boss_tpu")
 
-FASTQ_PATTERNS = ("*.fq", "*.fastq", "*.fq.gz", "*.fastq.gz")
+#: all six variants the reference scans (boss/live.py:226), including the
+#: nonstandard .gzip spellings some MinKNOW builds emit
+FASTQ_PATTERNS = ("*.fq", "*.fastq", "*.fq.gz", "*.fastq.gz",
+                  "*.fastq.gzip", "*.fq.gzip")
 
 
 class Sequencer:

@@ -46,9 +46,12 @@ def test_mask_lookup_and_decisions(mask_store):
     assert make_decision(st, [], 0) == Decision.no_seq
     multi = make_decision(st, [_Aln("c1", 1500, 1900, 1), _Aln("c1", 9000, 9400, 1)], 400)
     assert multi == Decision.multi_on
-    # readfish strand -1 maps to boss rev: start uses r_en - 1
+    # readfish strand -1 maps to boss rev: start uses r_en (reference-exact,
+    # dynamic_readfish.py:233)
     rev = make_decision(st, [_Aln("c1", 1500, 1900, -1)], 400)
     assert rev == Decision.single_off  # rev strand not accepted at 1900
+    # alignments win over an empty seq (reference checks results first)
+    assert make_decision(st, [_Aln("c1", 1500, 1900, 1)], 0) == Decision.single_on
 
 
 def test_mask_hot_reload(mask_store, tmp_path):

@@ -1,0 +1,223 @@
+"""Multi-alignment output from the TPU aligner + the live mapper plugin.
+
+The reference's Mapper returns ALL minimap2 records per read
+(boss/mapper.py:52-65); choose_best_mapper picks among them
+(boss/paf.py:709-722); the live decision aggregates several alignments into
+multi_on/multi_off (boss/dynamic_readfish.py:229-247). These tests pin that
+the TPU aligner restores those semantics: split reads -> >=2 primary
+records, repeats -> secondary records + collapsed mapq, and TpuMapperPlugin
+drives the readfish hot loop with zero mappy anywhere.
+"""
+import numpy as np
+import pytest
+
+from bossruns_tpu.aligner import TpuAligner
+from bossruns_tpu.io.paf import best_per_query
+from bossruns_tpu.models.layout import build_layout
+from bossruns_tpu.utils.datagen import random_genome, _simulate_alignment, revcomp_str
+
+
+@pytest.fixture(scope="module")
+def repeat_world():
+    """Genome with an exact 12 kb repeat shared between two contigs."""
+    rng = np.random.default_rng(11)
+    # both contigs >= 1e5 (build_layout drops shorter ones, reference parity)
+    genome = random_genome(rng, {"gA": 120_000, "gB": 120_000})
+    # plant gA[40k:52k] into gB[20k:32k]
+    genome["gB"] = genome["gB"][:20_000] + genome["gA"][40_000:52_000] + genome["gB"][32_000:]
+    lay = build_layout(genome)
+    return genome, lay, TpuAligner(lay), rng
+
+
+def _noisy(rng, s):
+    return _simulate_alignment(rng, s)[0]
+
+
+def test_split_read_two_primaries(repeat_world):
+    """A chimeric read (half gA, half gB, far from the repeat) must yield a
+    primary record per segment over disjoint query spans."""
+    genome, lay, al, rng = repeat_world
+    segA = _noisy(rng, genome["gA"][10_000: 13_000])
+    segB = _noisy(rng, genome["gB"][60_000: 63_000])
+    reads = {"chimera": segA + segB,
+             "chimera_rev": segA + revcomp_str(segB)}
+    rec = al.map_sequences(reads)
+    for rid in reads:
+        idx = [i for i in range(len(rec)) if rec.qname[i] == rid]
+        assert len(idx) >= 2, f"{rid}: expected >=2 records, got {len(idx)}"
+        assert all(rec.primary[i] == 1 for i in idx)
+        tnames = {rec.tname[i] for i in idx}
+        assert tnames == {"gA", "gB"}, tnames
+        # disjoint query spans (allow slack at the junction)
+        spans = sorted((int(rec.qstart[i]), int(rec.qend[i])) for i in idx)
+        assert spans[0][1] <= spans[1][0] + 300, spans
+        # each segment at the right locus
+        for i in idx:
+            if rec.tname[i] == "gA":
+                assert abs(int(rec.tstart[i]) - 10_000) < 200
+            else:
+                assert abs(int(rec.tstart[i]) - 60_000) < 200
+
+
+def test_repeat_read_secondary_records(repeat_world):
+    """A read from inside the exact repeat maps to both copies: the losing
+    copy is a secondary record — kept with all_records=True, dropped by
+    default (the reference's primary-only parse, boss/paf.py:652-672)."""
+    genome, lay, al, rng = repeat_world
+    reads = {"rep": _noisy(rng, genome["gA"][44_000: 48_000])}
+    rec_all = al.map_sequences(reads, all_records=True)
+    assert len(rec_all) >= 2
+    assert set(rec_all.tname) == {"gA", "gB"}
+    assert sorted(rec_all.primary)[0] == 0  # at least one secondary
+    rec_def = al.map_sequences(reads)
+    assert all(p == 1 for p in rec_def.primary)
+    assert len(rec_def) < len(rec_all)
+    # both copies' records land on the repeat coordinates
+    for i in range(len(rec_all)):
+        t0 = 44_000 if rec_all.tname[i] == "gA" else 24_000
+        assert abs(int(rec_all.tstart[i]) - t0) < 200
+
+
+def test_mapq_calibration_thresholds(repeat_world):
+    """mapq must agree with minimap2's calibration at the decision-relevant
+    thresholds (q>=20/30/40): unique reads high (>=40, mostly 60), exact
+    two-copy repeats collapsed (<=5, minimap2 gives ~0-3)."""
+    genome, lay, al, rng = repeat_world
+    uniq_reads = {
+        f"u{j}": _noisy(rng, genome["gA"][s: s + 3_000])
+        for j, s in enumerate(range(60_000, 100_000, 5_000))
+    }
+    rep_reads = {
+        f"r{j}": _noisy(rng, genome["gA"][s: s + 3_000])
+        for j, s in enumerate(range(42_000, 48_000, 2_000))
+    }
+    rec = al.map_sequences({**uniq_reads, **rep_reads})
+    best = best_per_query(rec)
+    uq = [int(rec.mapq[best[r]]) for r in uniq_reads if r in best]
+    rq = [int(rec.mapq[best[r]]) for r in rep_reads if r in best]
+    assert len(uq) >= 6 and len(rq) >= 2
+    assert min(uq) >= 40, uq
+    assert np.median(uq) == 60
+    assert max(rq) <= 5, rq
+    # threshold agreement: every unique read passes q>=20/30/40, no repeat does
+    for thr in (20, 30, 40):
+        assert all(q >= thr for q in uq)
+        assert all(q < thr for q in rq)
+
+
+def test_primary_choice_matches_reference_tiebreak(repeat_world):
+    """best_per_query must reproduce choose_best_mapper (max (mapq, AS),
+    last of full ties wins — boss/paf.py:709-722) over multi-records."""
+    genome, lay, al, rng = repeat_world
+    reads = {"rep": _noisy(rng, genome["gA"][44_000: 48_000])}
+    rec = al.map_sequences(reads, all_records=True)
+    assert len(rec) >= 2
+    best = best_per_query(rec)["rep"]
+    mq = [(int(rec.mapq[i]), int(rec.align_score[i])) for i in range(len(rec))]
+    order = np.argsort(np.array(mq, dtype=[("q", int), ("dp", int)]),
+                       order=["q", "dp"])
+    assert best == int(order[-1])
+
+
+# --------------------------------------------------------- live plugin -----
+
+def test_plugin_protocol_and_multi_decisions(repeat_world, tmp_path):
+    """TpuMapperPlugin drives make_decision to multi_on/multi_off: the full
+    mappy-free decision plane (reference readfish_boss.py:506 +
+    dynamic_readfish.py:229-247)."""
+    from bossruns_tpu.live.decision import Decision, StrategyStore, make_decision
+    from bossruns_tpu.live.mapper import TpuMapperPlugin
+    from bossruns_tpu.utils.misc import write_strategy_npz
+
+    genome, lay, al, rng = repeat_world
+
+    class Call:
+        def __init__(self, channel, read_id, seq):
+            self.channel, self.read_id, self.seq = channel, read_id, seq
+            self.read_number = 1
+            self.barcode = None
+            self.alignment_data = None
+
+    plugin = TpuMapperPlugin(aligner=al)
+    assert plugin.initialised
+    assert "contigs" in plugin.describe([])
+
+    calls = [
+        Call(1, "uniq", _noisy(rng, genome["gA"][60_000: 63_000])),
+        Call(2, "rep", _noisy(rng, genome["gA"][44_000: 47_000])),
+        Call(3, "none", "ACGT" * 30),
+    ]
+    out = list(plugin.map_reads(calls))
+    assert [r.read_id for r in out] == ["uniq", "rep", "none"]
+    assert len(out[0].alignment_data) == 1
+    assert len(out[1].alignment_data) >= 2  # both repeat copies
+    assert len(out[2].alignment_data) == 0
+    a = out[0].alignment_data.alignments[0]
+    assert a.ctg == "gA" and a.strand in (1, -1) and abs(a.r_st - 60_000) < 200
+
+    # accept-everything masks => multi_on for the repeat read
+    masks = {n: np.ones((len(genome[n]) // 100 + 1, 2), bool) for n in genome}
+    write_strategy_npz(tmp_path, masks)
+    store = StrategyStore(tmp_path / "masks" / "boss.npz")
+    assert make_decision(store, out[1].alignment_data, len(out[1].seq)) == Decision.multi_on
+    assert make_decision(store, out[0].alignment_data, len(out[0].seq)) == Decision.single_on
+    # reject-everything masks => multi_off
+    write_strategy_npz(tmp_path, {n: np.zeros_like(m) for n, m in masks.items()})
+    import time
+    time.sleep(0.02)
+    store.reload()
+    assert make_decision(store, out[1].alignment_data, len(out[1].seq)) == Decision.multi_off
+
+
+def test_hot_loop_with_tpu_mapper(repeat_world, tmp_path, monkeypatch):
+    """End-to-end Analysis.run with the TPU mapper plugin as the readfish
+    Aligner — zero mappy anywhere — and a recorded chunk-batch latency."""
+    import time
+
+    from bossruns_tpu.live.conf import RFConf
+    from bossruns_tpu.live.mapper import TpuMapperPlugin
+    from bossruns_tpu.live.readfish_boss import Analysis
+    from bossruns_tpu.utils.misc import write_strategy_npz
+    from tests.test_readfish_loop import RF_TOML, FakeCaller, FakeClient, Result
+
+    genome, lay, al, rng = repeat_world
+    monkeypatch.chdir(tmp_path)
+    toml = tmp_path / "rf.toml"
+    toml.write_text(RF_TOML)
+    conf = RFConf.from_file(toml, channel_count=64)
+    # strategy: accept gA fwd+rev, reject gB
+    masks = {
+        "gA": np.ones((len(genome["gA"]) // 100 + 1, 2), bool),
+        "gB": np.zeros((len(genome["gB"]) // 100 + 1, 2), bool),
+    }
+    write_strategy_npz(tmp_path / "out_runs", masks)
+
+    def chunk(ch, rid, seq):
+        return Result(ch, rid, seq=seq)
+
+    batch = [
+        chunk(1, "on_gA", _noisy(rng, genome["gA"][60_000: 60_800])),
+        chunk(2, "on_gB", _noisy(rng, genome["gB"][60_000: 60_800])),
+        chunk(3, "rep", _noisy(rng, genome["gA"][44_000: 44_800])),
+        chunk(4, "nomap", "ACGT" * 150),
+    ]
+    client = FakeClient([batch, batch], channel_count=64, run_dir=tmp_path)
+    mapper = TpuMapperPlugin(aligner=al)
+    worker = Analysis(
+        client, conf=conf, logger=__import__("logging").getLogger("t"),
+        caller=FakeCaller(), mapper=mapper, throttle=0.0, out_base=tmp_path,
+    )
+    t0 = time.perf_counter()
+    worker.run(max_iterations=2)
+    dt = time.perf_counter() - t0
+    # batch 1: every channel's first read is a first_read_override
+    # batch 2: real decisions
+    stats = worker.loop_statistics
+    assert stats.decision_counts.get("single_on", 0) >= 1
+    assert stats.decision_counts.get("multi_on", 0) >= 1   # repeat read
+    assert stats.decision_counts.get("no_map", 0) >= 1
+    assert (2, "on_gB") in client.unblocked  # single_off -> unblock
+    assert (1, "on_gA") in client.stopped
+    # per-chunk-batch decision latency: the SURVEY hot-loop (f) sub-second
+    # budget — 2 iterations incl. alignment must stay well under it
+    assert dt / 2 < 1.0, f"chunk-batch latency {dt/2:.2f}s"

@@ -213,8 +213,8 @@ def test_loop_delivers_decisions_and_channels_toml(tmp_path, monkeypatch):
     assert (tmp_path / "channels.toml").exists()
     # single_off (mask False) -> unblock; no_map -> proceed (nothing sent);
     # no_seq -> unblock per the toml
-    assert (1, on_target.read_number) in client.unblocked
-    assert (3, noseq.read_number) in client.unblocked
+    assert (1, on_target.read_id) in client.unblocked
+    assert (3, noseq.read_id) in client.unblocked
     assert all(ch != 2 for ch, _ in client.unblocked + client.stopped)
     assert worker.loop_statistics.total_reads == 3
 
@@ -226,7 +226,7 @@ def test_loop_accepts_on_mask_true(tmp_path, monkeypatch):
     client = FakeClient([[r]], run_dir=tmp_path)
     worker = _analysis(tmp_path, client)
     worker.run()
-    assert (1, r.read_number) in client.stopped  # single_on -> stop_receiving
+    assert (1, r.read_id) in client.stopped  # single_on -> stop_receiving
     assert client.unblocked == []
 
 
@@ -238,14 +238,14 @@ def test_mask_hot_reload_changes_decisions(tmp_path, monkeypatch):
     client = FakeClient([[r1]], run_dir=tmp_path)
     worker = _analysis(tmp_path, client)
     worker.run()
-    assert (1, r1.read_number) in client.stopped
+    assert (1, r1.read_id) in client.stopped
     # BOSS rewrites the strategy (mtime must advance for the reload gate)
     time.sleep(0.01)
     write_strategy_npz(out, {"c1": np.zeros((100, 2), dtype=bool)})
     os.utime(out / "masks" / "boss.npz")
     client.batches = [[r2]]
     worker.run()
-    assert (1, r2.read_number) in client.unblocked  # now rejected
+    assert (1, r2.read_id) in client.unblocked  # now rejected
 
 
 def test_control_region_always_stop_receiving(tmp_path, monkeypatch):
@@ -256,7 +256,7 @@ def test_control_region_always_stop_receiving(tmp_path, monkeypatch):
     client = FakeClient([[r]], run_dir=tmp_path)
     worker = _analysis(tmp_path, client)
     worker.run()
-    assert (64, r.read_number) in client.stopped
+    assert (64, r.read_id) in client.stopped
     assert client.unblocked == []
 
 
@@ -269,10 +269,10 @@ def test_first_read_override_when_started_mid_sequencing(tmp_path, monkeypatch):
     worker = _analysis(tmp_path, client, started_mid_sequencing=True)
     worker.run()
     # first read on the channel: unknown elapsed length -> sequenced
-    assert (1, r1.read_number) in client.stopped
+    assert (1, r1.read_id) in client.stopped
     assert r1.decision is Decision.first_read_override
     # second read gets the real (unblock) decision
-    assert (1, r2.read_number) in client.unblocked
+    assert (1, r2.read_id) in client.unblocked
 
 
 def test_dry_run_overrides_unblocks(tmp_path, monkeypatch):
@@ -283,7 +283,7 @@ def test_dry_run_overrides_unblocks(tmp_path, monkeypatch):
     worker = _analysis(tmp_path, client, dry_run=True)
     worker.run()
     assert client.unblocked == []
-    assert (1, r.read_number) in client.stopped
+    assert (1, r.read_id) in client.stopped
 
 
 def test_above_max_chunks_unblocks_proceed(tmp_path, monkeypatch):
@@ -308,13 +308,13 @@ def test_duplex_simple_override(tmp_path, monkeypatch):
     client = FakeClient([[rA]], run_dir=tmp_path)
     worker = _analysis(tmp_path, client, chemistry=Chemistry.DUPLEX_SIMPLE)
     worker.run()
-    assert (1, rA.read_number) in client.stopped
+    assert (1, rA.read_id) in client.stopped
     time.sleep(0.01)
     write_strategy_npz(out, {"c1": np.zeros((100, 2), dtype=bool)})
     os.utime(out / "masks" / "boss.npz")
     client.batches = [[rB]]
     worker.run()
-    assert (1, rB.read_number) in client.stopped
+    assert (1, rB.read_id) in client.stopped
     assert rB.decision is Decision.duplex_override
 
 
@@ -333,9 +333,9 @@ def test_duplex_full_requires_opposite_strand(tmp_path, monkeypatch):
     os.utime(out / "masks" / "boss.npz")
     client.batches = [[rB, rD]]
     worker.run()
-    assert (1, rB.read_number) in client.stopped   # duplex candidate kept
+    assert (1, rB.read_id) in client.stopped   # duplex candidate kept
     assert rB.decision is Decision.duplex_override
-    assert (2, rD.read_number) in client.unblocked  # same strand: no duplex
+    assert (2, rD.read_id) in client.unblocked  # same strand: no duplex
 
 
 def test_chunk_tracker_bounded_by_channels():
