@@ -185,6 +185,13 @@ class RunsConfig:
     score_block: int = 16 * CHUNK
     # return the post-mask score array in StepAux (parity tests/debugging)
     debug_aux: bool = False
+    # reference-quirk Q1 (docs/PARITY.md deviation 1): compute the threshold
+    # scan's ubar0 term from BENEFIT instead of S_mu, reproducing the
+    # reference's variable swap (runs/core.py:178-186 passes `benefit` to
+    # both adjust_length calls). The full bug-compatible pipeline (incl. the
+    # Q3 merged-row drift, which is a host-layout property and deliberately
+    # NOT reproduced on device) is oracle_quirks.ReferenceQuirkOracle.
+    reference_quirks: bool = False
     # Historical note: fused Pallas kernels for the score closed form and the
     # benefit windows were built and interpret-validated in round 1. Measured
     # on hardware they lost: the score kernel was neutral-to-slower than the
@@ -480,7 +487,12 @@ class RunsEngine:
 
         # -- 6. threshold + gated strategy ------------------------------------
         fhat_b = jnp.broadcast_to(fhat_exp[None], benefit.shape)
-        res = gops.find_strategy(benefit, smu, fhat_b, params.time_cost.astype(bdt))
+        res = gops.find_strategy(
+            benefit,
+            benefit if cfg.reference_quirks else smu,  # Q1 ubar0 swap
+            fhat_b,
+            params.time_cost.astype(bdt),
+        )
         bidx = C.bucket_idx
         gate = jnp.take(bucket_on, jnp.maximum(bidx, 0), axis=1) & (bidx >= 0)[None, :]  # [NB, Gd]
         do_update = any_on & res.any_nonzero

@@ -131,9 +131,20 @@ class BossRunsSim:
         min_contig_len: int = 100_000,
         resume: bool = False,
         mesh_shards: tuple[int, int] = (1, 1),
+        reference_quirks: bool = False,
     ):
         """mesh_shards: (barcode_shards, genome_shards) — > (1, 1) runs the
-        update step sharded over a device mesh (config [tpu] section)."""
+        update step sharded over a device mesh (config [tpu] section).
+
+        reference_quirks: bug-compatible mode (docs/PARITY.md) — enables
+        quirk Q1 on the engine (ubar0 from benefit) and Q2 on the data
+        plane: rejected REVERSE-strand reads contribute coverage from the
+        wrong bases, exactly like the reference, which expands their
+        truncated CIGAR against the reverse complement of the FULL read
+        indexed with truncated coordinates (runs/simulation.py:164 passes
+        read_seqs while the rejected record's qlen is mu;
+        sequences.py:706-716) — i.e. the read's LAST mu bases instead of
+        its first."""
         self.name = name
         self.out_dir = make_output_dirs(name, out_base)
         self.mu = MU
@@ -147,6 +158,7 @@ class BossRunsSim:
             self.barcodes_index = {int(b.split("barcode")[1]): i for i, b in enumerate(barcodes)}
         nb = len(self.barcodes_index)
 
+        self.reference_quirks = reference_quirks
         contigs = load_reference_contigs(ref)
         rejects = set(reject_refs.split(",")) if reject_refs else set()
         bshards, gshards = mesh_shards
@@ -156,7 +168,7 @@ class BossRunsSim:
         )
         from ..ops.model import make_model
 
-        cfg = config or RunsConfig()
+        cfg = config or RunsConfig(reference_quirks=reference_quirks)
         if bshards * gshards > 1:
             import jax
 
@@ -321,6 +333,19 @@ class BossRunsSim:
         }
         full_rows = [i for kind, i in outc.cov_rows if kind == "full"]
         trunc_rows = [i for kind, i in outc.cov_rows if kind == "trunc"]
+        trunc_seqs, trunc_quals = outc.reads_decision, decided_quals
+        if self.reference_quirks:
+            # Q2: rejected REV reads' coverage comes from the read's LAST mu
+            # bases (the reference's wrong-bases expansion; see __init__
+            # docstring). Fwd rejected reads are unaffected (the reference
+            # slices [qstart:qend) of the full read, < mu — same bases).
+            trunc_seqs = dict(outc.reads_decision)
+            trunc_quals = dict(decided_quals)
+            for i in trunc_rows:
+                if trunc.rev[i]:
+                    rid = trunc.qname[i]
+                    trunc_seqs[rid] = seqs[rid][-self.mu:]
+                    trunc_quals[rid] = quals[rid][-self.mu:]
         rs_row, rs_strand, rs_w = coo_mod.build_read_start_rows(
             self.layout, full, outc.acc_rows, floor=getattr(self, "_rs_floor", 512)
         )
@@ -335,7 +360,7 @@ class BossRunsSim:
             self.layout,
             [
                 (full, full_rows, seqs, quals),
-                (trunc, trunc_rows, outc.reads_decision, decided_quals),
+                (trunc, trunc_rows, trunc_seqs, trunc_quals),
             ],
             barcodes=read_bc,
             rs=(rs_row, rs_strand, rs_w),

@@ -212,8 +212,15 @@ def fhat_pointmass(read_starts: np.ndarray, alpha: float = 1.0, p0: float = 0.1)
 
 def full_update(engine, state_np: dict, batch_np: dict, approx_ccl, time_cost,
                 bucket_threshold: float = 5.0, fast_scores: bool = False,
-                scores_override: np.ndarray | None = None):
+                scores_override: np.ndarray | None = None,
+                reference_quirks: bool = False):
     """Float64 numpy reference of one full RunsEngine step.
+
+    reference_quirks: reproduce quirk Q1 (ubar0 from benefit — the
+    reference's runs/core.py:178-186 variable swap), pairing with
+    RunsConfig(reference_quirks=True) on the engine. The complete
+    bug-compatible pipeline (incl. the Q3 row drift) is
+    oracle_quirks.ReferenceQuirkOracle.
 
     scores_override: [NB, G] post-mask per-site scores to use INSTEAD of the
     oracle's own f64 scores — pass the engine's f32 scores (StepAux.scores
@@ -344,7 +351,9 @@ def full_update(engine, state_np: dict, batch_np: dict, approx_ccl, time_cost,
     ben = np.maximum(ben - smu, 0.0)
 
     fhat_b = np.broadcast_to(fhat_exp[None], ben.shape)
-    strat_cand, threshold = find_strategy(ben, smu, fhat_b, time_cost)
+    strat_cand, threshold = find_strategy(
+        ben, ben if reference_quirks else smu, fhat_b, time_cost
+    )
     any_nz = bool((ben > 0).any())
 
     bidx = lay.bucket_idx

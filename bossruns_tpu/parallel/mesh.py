@@ -379,7 +379,9 @@ class ShardedRunsEngine(RunsEngine):
         counts_l, fsum_l = gops.bin_benefit(benefit, fhat_b, norm, 192)
         counts = lax.psum(counts_l, both)                   # exact: integers
         fsum = lax.psum(fsum_l, both)                       # exact: f32 summands
-        ubar0 = lax.psum(gops.ubar0_partial(fhat_b, smu, bdt), both)
+        ubar0 = lax.psum(gops.ubar0_partial(
+            fhat_b, benefit if cfg.reference_quirks else smu, bdt  # Q1 swap
+        ), both)
         threshold = gops.threshold_from_bins(
             counts, fsum, norm, ubar0, params.time_cost.astype(bdt), 192
         )

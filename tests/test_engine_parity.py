@@ -44,7 +44,7 @@ def _random_batch(rng, lay, n_obs, nb=1, n_rs=300, run_len=40, len_b=5):
     )
 
 
-def _soak(rng, lay, eng, n_steps, n_obs, ccl, tc):
+def _soak(rng, lay, eng, n_steps, n_obs, ccl, tc, reference_quirks=False):
     """Run engine + oracle side by side; demand exact decision agreement."""
     state = eng.init_state()
     state_np = {k: np.asarray(v) for k, v in state._asdict().items()}
@@ -58,7 +58,8 @@ def _soak(rng, lay, eng, n_steps, n_obs, ccl, tc):
         # same f32 scores into the oracle: isolates the f64 decision pipeline
         scores = np.asarray(aux.scores)
         state_np, aux_o = oracle.full_update(
-            eng, state_np, b, ccl, tc, scores_override=scores
+            eng, state_np, b, ccl, tc, scores_override=scores,
+            reference_quirks=reference_quirks,
         )
         assert bool(aux.any_on) == aux_o["any_on"], step
         assert bool(aux.updated) == aux_o["updated"], step
