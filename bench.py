@@ -111,8 +111,43 @@ def section_sim(tmp: Path):
     }), flush=True)
 
 
+def _aeons_strategy_numpy(contigs, ccl, lam, lowcov=10.0, mu=400):
+    """CPU stand-in for the AEONS strategy stage: the reference's per-contig
+    bn.move_sum pipeline (22 window sums/contig) in f64 numpy
+    (boss/aeons/sequences.py:1554-1678). Baseline for the device kernel."""
+    from bossruns_tpu.oracle import move_sum_fwd, move_sum_rev
+
+    weights = np.arange(0.1, 1.1, 0.1)[::-1]
+    ccl_ds = np.maximum(np.asarray(ccl) // 100, 1)
+    bens = []
+    for s in contigs.values():
+        cc = np.add.reduceat(s.cov, np.arange(0, len(s.cov), 100))
+        scores = 1.0 / (np.exp(np.minimum(np.floor(cc / 100), 100.0) - lowcov) + 1.0)
+        smu = np.stack([move_sum_fwd(scores, mu // 100), move_sum_rev(scores, mu // 100)], 1)
+        eb = np.zeros_like(smu)
+        for i in range(10):
+            w = int(ccl_ds[i])
+            eb[:, 0] += weights[i] * move_sum_fwd(scores, w)
+            eb[:, 1] += weights[i] * move_sum_rev(scores, w)
+        bens.append(np.maximum(eb - smu, 0.0))
+    b = np.concatenate(bens).ravel()
+    nz = b[b > 0]
+    if nz.size == 0:
+        return 0.0
+    _m, e = np.frexp(nz / nz.max())
+    counts = np.bincount(np.abs(e))
+    used = np.flatnonzero(counts)
+    bbin = np.power(2.0, -used.astype(np.float64)) * nz.max()
+    tc = max((lam - mu - 300) // 100, 1.0)
+    cs_u = np.cumsum(bbin * counts[used])
+    cs_t = np.cumsum(tc * counts[used]) + 9
+    return float(bbin[min(int(np.argmax(cs_u / cs_t)) + 1, used.size - 1)])
+
+
 def section_aeons(tmp: Path):
-    """AEONS update batch: ava + assembly + contig strategies, warm."""
+    """AEONS update batch: ava + assembly + contig strategies, warm.
+    Reports per-stage medians (VERDICT r2 item 5) and a CPU-numpy baseline
+    ratio for the strategy stage."""
     from bossruns_tpu.aeons.simulation import BossAeonsSim
     from bossruns_tpu.config import BossConfig
     from bossruns_tpu.utils.datagen import write_corpus
@@ -131,19 +166,49 @@ def section_aeons(tmp: Path):
     args.optional.min_contig_len = 10_000
     sim = BossAeonsSim(args, out_base=tmp / "aeons")
     sim.process_batch()  # warm: first batch compiles the ava/benefit kernels
-    times = []
+    times, stages = [], []
     for _ in range(3):
         t0 = time.perf_counter()
         sim.process_batch()
         times.append(time.perf_counter() - t0)
+        stages.append(dict(sim.stage_times))
     p50 = float(np.median(times))
+    stage_p50 = {
+        k: round(float(np.median([s.get(k, 0.0) for s in stages])) * 1000.0, 1)
+        for k in stages[-1]
+    }
+    # strategy-stage baseline, device vs CPU numpy, at metagenome scale
+    # (40 contigs x 200 kb = 8 Mb of contig coverage — the scale the device
+    # kernel exists for; at the tiny bench-sim scale the ~33 ms tunnel
+    # round trips dominate and numpy wins)
+    from bossruns_tpu.aeons.benefit import contig_strategies
+
+    class _C:
+        def __init__(self, n, rng):
+            self.seq = "A" * n
+            self.cov = rng.integers(0, 30, n).astype(np.float32)
+            self.cap_l = self.cap_r = False
+
+    rng = np.random.default_rng(5)
+    big = {f"u{j}": _C(200_000, rng) for j in range(40)}
+    ccl, lam = sim.rl_dist.approx_ccl, sim.rl_dist.lam
+    contig_strategies(big, ccl=ccl, lam=lam)  # compile
+    t0 = time.perf_counter()
+    contig_strategies(big, ccl=ccl, lam=lam)
+    dev8_ms = (time.perf_counter() - t0) * 1000.0
+    t0 = time.perf_counter()
+    _aeons_strategy_numpy(big, ccl, lam)
+    cpu8_ms = (time.perf_counter() - t0) * 1000.0
     print(json.dumps({
         "metric": "aeons_batch_p50_latency",
         "value": round(p50 * 1000.0, 1),
         "unit": "ms",
-        "vs_baseline": None,
+        "vs_baseline": round(cpu8_ms / dev8_ms, 2),
         "detail": {"reads_per_batch": 500,
-                   "n_contigs": len(sim.strat)},
+                   "n_contigs": len(sim.strat),
+                   "stage_p50_ms": stage_p50,
+                   "strategy_8mb_device_ms": round(dev8_ms, 1),
+                   "strategy_8mb_cpu_ms": round(cpu8_ms, 1)},
     }), flush=True)
 
 

@@ -47,6 +47,7 @@ class BossAeons:
             tetra=args.optional.tetra,
         )
         self.repeat_filter = None
+        self.stage_times: dict[str, float] = {}
         from ..utils.checkpoint import MetricsWriter
 
         self.metrics = MetricsWriter(self.out_dir)
@@ -177,17 +178,33 @@ class BossAeons:
             shutil.copy(final, Path(self.out_dir) / "contigs" / "prev" / f"aeons_{self.batch}.fa")
 
     def update_wrapper(self, new_reads: dict[str, str]) -> None:
-        """Per-batch AEONS pipeline (core.py:242-276)."""
+        """Per-batch AEONS pipeline (core.py:242-276). Per-stage wall times
+        land in ``self.stage_times`` (VERDICT r2 item 5: AEONS perf
+        accountability) and in the metrics JSONL."""
+        t0 = time.perf_counter()
+        st = self.stage_times = {}
+
+        def mark(stage: str) -> None:
+            nonlocal t0
+            t1 = time.perf_counter()
+            st[stage] = round(t1 - t0, 4)
+            t0 = t1
+
         if self.repeat_filter is not None:
             new_reads = self.repeat_filter.filter_batch(new_reads)
+        mark("repeat_filter")
         new_pool = SequencePool(min_len=self.args.optional.min_seq_len)
         new_pool.ingest(new_reads)
         self.add_new_sequences(new_pool)
+        mark("ingest_ava")
         self.overlap_pool()
+        mark("pool_ava")
         self.trim_sequences()
+        mark("trim")
         contigs = self.assemble()
         frozen = self.pool.decrease_temperature(lim=self.args.optional.min_contig_len)
         self.remove_seqs(frozen)
+        mark("assemble")
         if contigs.is_empty():
             logger.info("no contigs yet; strategy stays accept-all")
             return
@@ -197,8 +214,10 @@ class BossAeons:
             lam=self.rl_dist.lam,
             lowcov=self.args.optional.lowcov,
         )
+        mark("strategy")
         write_strategy_npz(self.out_dir, self.strat)
         self.write_contigs(contigs)
+        mark("write")
         logger.info(
             f"batch {self.batch}: {len(contigs.sequences)} contigs "
             f"({contigs.total_bases()} bases), threshold {threshold:.3g}"
@@ -211,6 +230,7 @@ class BossAeons:
             longest=lens[:5],
             pool_size=len(self.pool.sequences),
             threshold=threshold,
+            stages=self.stage_times,
         )
 
     def _checkpoint_extra(self) -> dict:

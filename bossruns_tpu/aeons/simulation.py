@@ -81,10 +81,18 @@ class BossAeonsSim(BossAeons):
         from ..aligner import TpuAligner
         from ..models.layout import build_layout
 
-        layout = build_layout(contigs.seqdict(), min_len=500)
-        # noisy-vs-noisy mapping needs denser seeds: the reference's AEONS sim
-        # mapper uses k=13, w=5 (boss/mapper.py:47-48)
-        aligner = TpuAligner(layout, k=13, w=5, min_votes=2)
+        # rebuild the decision index only when the contig set changed:
+        # pool sequences are immutable (trims/unitig merges mint new ids),
+        # so (name, length) identifies the set. Batches where assembly
+        # didn't move skip the host index build + device upload entirely.
+        key = tuple(sorted((n, len(s)) for n, s in contigs.seqdict().items()))
+        if key != getattr(self, "_decide_key", None):
+            layout = build_layout(contigs.seqdict(), min_len=500)
+            # noisy-vs-noisy mapping needs denser seeds: the reference's
+            # AEONS sim mapper uses k=13, w=5 (boss/mapper.py:47-48)
+            self._decide_aligner = TpuAligner(layout, k=13, w=5, min_votes=2)
+            self._decide_key = key
+        aligner = self._decide_aligner
         rec = aligner.map_sequences(read_sequences, trunc=True)
         best = best_per_query(rec)
         decisions = dict(read_sequences)
@@ -119,12 +127,23 @@ class BossAeonsSim(BossAeons):
     # ------------------------------------------------------------- batch ----
 
     def process_batch(self) -> None:
+        import time as _time
+
+        t0 = _time.perf_counter()
         seqs, *_ = self.sampler.sample()
+        t1 = _time.perf_counter()
         decisions = self.make_decisions(seqs)
+        t2 = _time.perf_counter()
         self.rl_dist.update(np.array([len(s) for s in seqs.values()]))
         self._update_times(seqs, decisions)
         self.read_cache.fill(seqs, decisions)
         self.update_wrapper(new_reads=decisions)
+        # prepend the sim-only stages to the update stages (core.update_wrapper)
+        self.stage_times = {
+            "sample": round(t1 - t0, 4),
+            "decide": round(t2 - t1, 4),
+            **self.stage_times,
+        }
         self.batch += 1
         # after the increment: persisted counter == consumed batches (resume
         # slices the sampler offsets by it)

@@ -48,16 +48,29 @@ LENGTH_BUCKETS = (512, 1024, 2048, 4096, 8192, 16384, 32768)
 #: (rows, L) and every distinct shape costs a full remote XLA compile
 #: (~60-80 s on the tunneled axon toolchain) — pow2-of-group-size rows made
 #: the shape universe depend on each corpus's read-length mix, so every new
-#: workload recompiled. Two tiers per bucket (64-row small tier for tiny
-#: calls, this big tier otherwise, groups chunked at the big tier) bound the
-#: universe at 13 distinct shapes (the 32768 bucket's big tier coincides
-#: with the small tier), all persistent-cache-stable across runs.
-#: Sized for ~2M read positions per call so one call's seeding stays a few
-#: hundred ms while batches of thousands of reads need only a handful of
-#: pipelined dispatches.
+#: workload recompiled. Three tiers per bucket (64-row small tier for tiny
+#: calls, big//8 mid tier for few-hundred-read batches — AEONS decisions and
+#: live chunk batches — this big tier otherwise, groups chunked at the big
+#: tier) bound the universe at ~19 distinct shapes (the 32768 bucket's
+#: tiers collapse into the small tier), all persistent-cache-stable across
+#: runs. The big tier is sized for ~2M read positions per call so one call's
+#: seeding stays a few hundred ms while batches of thousands of reads need
+#: only a handful of pipelined dispatches; the mid tier keeps a 500-read
+#: truncated batch from paying 8x row padding.
 BUCKET_ROWS = {512: 4096, 1024: 2048, 2048: 1024, 4096: 512,
                8192: 256, 16384: 128, 32768: 64}
 SMALL_ROWS = 64
+
+
+def tier_rows(n: int, L: int) -> int:
+    """Smallest row tier that fits n reads of bucket L."""
+    big = BUCKET_ROWS[L]
+    mid = max(SMALL_ROWS, big // 8)
+    if n <= SMALL_ROWS:
+        return SMALL_ROWS
+    if n <= mid:
+        return mid
+    return big
 
 #: overlapping-span competitor candidates are DP-extended (and may be emitted
 #: as secondary records) only at >= this vote ratio vs the best candidate
@@ -149,9 +162,9 @@ class TpuAligner:
                 L = b
                 break
         L = L or LENGTH_BUCKETS[-1]
-        # two fixed row tiers per bucket (see BUCKET_ROWS): the caller chunks
+        # fixed row tiers per bucket (see tier_rows): the caller chunks
         # groups at BUCKET_ROWS[L], so len(enc_reads) always fits
-        rows = SMALL_ROWS if len(enc_reads) <= SMALL_ROWS else BUCKET_ROWS[L]
+        rows = tier_rows(len(enc_reads), L)
         assert len(enc_reads) <= rows, (len(enc_reads), rows, L)
         mat = np.full((rows, L), 4, np.int8)
         for r, e in enumerate(enc_reads):

@@ -297,10 +297,19 @@ class RunsEngine:
 
     def _score_block(self, n_local: int) -> int:
         """Chunk-aligned divisor of the local site axis closest to (and at
-        most) cfg.score_block; 0 when blocking is disabled or pointless."""
+        most) cfg.score_block; 0 when blocking is disabled or pointless.
+
+        Blocking exists to cap the [genotypes, sites] f32 posterior
+        temporaries at chromosome scale; when they comfortably fit HBM
+        (~16 bytes/site/genotype across the scoring chain vs a 1.5 GB
+        budget) the scan is pure overhead, so it auto-disables — the result
+        is bit-identical either way (site_scores_t_scan), only the peak
+        memory and a few ms of latency differ."""
         want = self.config.score_block
         nc = n_local // CHUNK
         if want <= 0 or n_local % CHUNK or nc <= 1:
+            return 0
+        if self.nb * n_local * self.model.len_g * 16 < 1.5e9:
             return 0
         bc = max(1, min(want // CHUNK, nc))
         while nc % bc:

@@ -98,14 +98,30 @@ def test_live_runs_loop_with_fake_sequencer(corpus, tmp_path, monkeypatch):
 
 
 def test_scan_dir_patterns(tmp_path):
+    # all six reference glob variants incl. the nonstandard .gzip spellings
+    # (boss/live.py:226), plus a non-match
     root = tmp_path / "fq"
     (root / "sub").mkdir(parents=True)
-    for name in ("a.fq", "b.fastq", "sub/c.fq.gz", "d.txt"):
+    for name in ("a.fq", "b.fastq", "sub/c.fq.gz", "e.fastq.gz",
+                 "f.fastq.gzip", "g.fq.gzip", "d.txt"):
         (root / name).write_text("")
     found = LiveRun.scan_dir(str(root), set())
-    assert len(found) == 3
+    assert len(found) == 6
     found2 = LiveRun.scan_dir(str(root), set(found))
     assert found2 == []
+
+
+def test_gzip_spelling_readable(tmp_path):
+    """A .fastq.gzip file (gzip data, nonstandard suffix) must parse."""
+    import gzip
+
+    from bossruns_tpu.io.fastq import read_fastx
+
+    p = tmp_path / "r.fastq.gzip"
+    with gzip.open(p, "wt") as fh:
+        fh.write("@r1 ch=1\nACGT\n+\nIIII\n")
+    recs = list(read_fastx(str(p)))
+    assert recs[0][0] == "r1" and recs[0][2] == "ACGT"
 
 
 def test_live_checkpoint_resume(corpus, tmp_path, monkeypatch):
