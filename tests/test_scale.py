@@ -9,8 +9,8 @@ scale, and the scale evidence must be driver-visible. Two tiers:
   real scattered read batch (minutes, well under 10 GB RAM).
 * test_120mb_diploid_sharded_two_batches — gated behind BOSS_SCALE_TEST=1
   (needs ~30 GB host RAM); BOSS_SCALE_MB=1000 BOSS_SCALE_DEV=16 is the
-  gigabase proof (measured 23 min / ~70 GB peak on a 125 GB host; captured
-  log: docs/logs/scale_1gb.log).
+  gigabase proof (measured 12 min 24 s / ~60 GB peak on the 4-CPU 125 GB
+  host, round 3; captured log: docs/logs/scale_1gb.log).
 """
 import os
 
