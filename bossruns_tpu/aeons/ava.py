@@ -39,10 +39,14 @@ class PoolIndex:
             concat[s : s + e.shape[0]] = e
         valid = concat < 4
         idx = build_index(np.where(valid, concat, 0).astype(np.uint8), valid, k=k, w=w, max_occ=max_occ)
-        # pad floors sized for a working pool (~2 Mb of sequence): small
-        # early-batch indexes share the steady-state kernel shapes
+        # pad floors sized for a few-hundred-kb working pool; the 2x pad
+        # hysteresis absorbs batch-to-batch wobble and bigger pools grow the
+        # pad once per doubling. Keys dominate both the per-call H2D upload
+        # (20 B/key-slot: 2^17 -> 2.5 MB vs 2^18 -> 5 MB at ~60 MB/s on the
+        # tunneled chip) and the lookup sort-join volume, so an oversized
+        # floor taxes EVERY seeding call.
         self.host = idx  # host MinimizerIndex (CSR offsets/positions)
-        self.dev = DeviceIndex(idx, min_keys_pad=1 << 18, min_pos_pad=1 << 19)
+        self.dev = DeviceIndex(idx, min_keys_pad=1 << 17, min_pos_pad=1 << 18)
         self.k = k
 
     def locate(self, gpos: int) -> int:

@@ -18,6 +18,14 @@ coverage). Semantics mirror /root/reference/boss/aeons/sequences.py:
 
 Contig layout: all contigs concatenate on a 100-site-chunk axis padded to a
 power-of-two total so jit sees few distinct shapes.
+
+Transfer economy (the tunneled chip moves ~60 MB/s with a ~33 ms round-trip
+floor, so bytes and round trips ARE this kernel's cost): the host uploads one
+uint8 per 100-site chunk (the capped floor(cov_sum/100) the sigmoid needs —
+exact, the kernel floored anyway) plus per-contig descriptors padded to a
+small fixed table; the kernel expands segment bounds on device and returns
+ONE uint8 array = bit-packed strategy mask ++ threshold bytes. Versus the
+f32-everything form this is ~13x less H2D and ~30x less D2H.
 """
 from __future__ import annotations
 
@@ -31,26 +39,45 @@ from ..ops.genome_ops import _csum, frexp_abs_exponent, windowed_sums_fwd, windo
 
 NODE = 100
 NBINS = 192
+CONTIG_PAD = 64  # per-contig descriptor table rows (pow2-padded above this)
 
 
 @partial(jax.jit, static_argnames=())
-def _strategy_jit(cov_chunked, seg_start, seg_end, row_valid, noi,
-                  e_l, e_r, lowcov, ccl_ds, mu_ds, tc, tbar0):
-    """cov_chunked [N] f32 (sum of per-base cov per 100-chunk); seg_* [N];
-    noi [N] bool (end nodes of interest); e_l/e_r [N] bool (row is in a
-    segment whose left/right end is uncapped).
+def _strategy_jit(cov_mean_u8, ndc, noi_l, noi_r, e_lc, e_rc, total,
+                  lowcov, ccl_ds, mu_ds, tc, tbar0):
+    """cov_mean_u8 [N] uint8 = min(floor(chunk_cov_sum / 100), 100) per
+    100-site chunk; ndc [C] int32 chunk count per contig (0 = pad row);
+    noi_l/noi_r [C] bool (end node of interest); e_lc/e_rc [C] bool (left/
+    right end uncapped); total int32 = real rows.
 
-    One fused kernel: benefit windows AND the threshold scan — smu_sum stays
-    a device scalar instead of forcing a host round trip between two jits
-    (a D2H sync costs ~33 ms on a tunneled chip, more than the compute).
-    Returns (benefit [N,2], vec [2] = [threshold, any_nonzero])."""
-    cov_mean = jnp.minimum(jnp.floor(cov_chunked / NODE), 100.0)
+    One fused kernel: segment expansion, benefit windows AND the threshold
+    scan — smu_sum stays a device scalar instead of forcing a host round
+    trip between two jits. Returns ONE uint8 array [N*2/8 + 8]:
+    little-endian bit-packed (benefit >= threshold | all-true-when-empty)
+    mask ++ threshold f32 bytes ++ any_nonzero byte ++ 3 pad bytes."""
+    n = cov_mean_u8.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)
+    row_valid = rows < total
+
+    # per-row contig id from the descriptor table: ends[c] = cumsum(ndc);
+    # searchsorted side='right' maps row -> its contig (pad contigs have
+    # ndc=0 and can never win). Rows beyond `total` clamp to the last table
+    # row and are masked by row_valid everywhere below.
+    ends = jnp.cumsum(ndc)
+    starts = ends - ndc
+    cid = jnp.searchsorted(ends, rows, side="right")
+    cid = jnp.minimum(cid, ndc.shape[0] - 1)
+    seg_start = jnp.where(row_valid, starts[cid], rows)
+    seg_end = jnp.where(row_valid, ends[cid], rows + 1)
+    e_l = e_lc[cid] & row_valid
+    e_r = e_rc[cid] & row_valid
+    noi = ((rows == seg_start) & noi_l[cid]) | ((rows == seg_end - 1) & noi_r[cid])
+
+    cov_mean = cov_mean_u8.astype(jnp.float32)
     scores = 1.0 / (jnp.exp(cov_mean - lowcov) + 1.0)
-    scores = jnp.where(noi, 1.0, scores)
+    scores = jnp.where(noi & row_valid, 1.0, scores)
     scores = jnp.where(row_valid, scores, 0.0)
 
-    n = scores.shape[0]
-    rows = jnp.arange(n, dtype=jnp.int32)
     cs = _csum(scores)
 
     def fwd(w):
@@ -96,7 +123,23 @@ def _strategy_jit(cov_chunked, seg_start, seg_end, row_valid, noi,
     last_used = jnp.max(jnp.where(used, bin_ids, -1))
     thr_idx = jnp.where(nxt < NBINS, nxt, last_used).astype(jnp.int32)
     thr = bbin[jnp.maximum(thr_idx, 0)]
-    return benefit, jnp.stack([thr, any_nz.astype(b.dtype)])
+
+    # no-nonzero-benefit batches keep the accept-all strategy
+    mask = jnp.where(any_nz, b >= thr, True)
+    packed = jnp.sum(
+        mask.reshape(-1, 8).astype(jnp.uint8)
+        << jnp.arange(8, dtype=jnp.uint8)[None, :],
+        axis=1, dtype=jnp.uint8,
+    )
+    thr_bytes = jax.lax.bitcast_convert_type(
+        thr.astype(jnp.float32), jnp.uint8
+    ).reshape(4)
+    tail = jnp.concatenate([
+        thr_bytes,
+        jnp.array([0, 0, 0], jnp.uint8),
+        any_nz.astype(jnp.uint8)[None],
+    ])
+    return jnp.concatenate([packed, tail])
 
 
 def _pad_pow2(n: int, floor: int = 1 << 10) -> int:
@@ -121,56 +164,49 @@ def contig_strategies(
     nd = [int(-(-len(contigs[h].seq) // NODE)) for h in names]
     total = sum(nd)
     n_pad = _pad_pow2(total)
-    cov_chunked = np.zeros(n_pad, np.float32)
-    seg_start = np.zeros(n_pad, np.int32)
-    seg_end = np.zeros(n_pad, np.int32)
-    row_valid = np.zeros(n_pad, bool)
-    noi = np.zeros(n_pad, bool)
-    e_l = np.zeros(n_pad, bool)
-    e_r = np.zeros(n_pad, bool)
+    c_pad = _pad_pow2(len(names), floor=CONTIG_PAD)
+    cov_mean = np.zeros(n_pad, np.uint8)
+    ndc = np.zeros(c_pad, np.int32)
+    noi_l = np.zeros(c_pad, bool)
+    noi_r = np.zeros(c_pad, bool)
+    e_lc = np.zeros(c_pad, bool)
+    e_rc = np.zeros(c_pad, bool)
     off = 0
     offsets = {}
-    for h, ndc in zip(names, nd):
+    for ci, (h, ndch) in enumerate(zip(names, nd)):
         s = contigs[h]
-        cc = np.add.reduceat(s.cov, np.arange(0, len(s.cov), NODE)).astype(np.float32)
-        cov_chunked[off : off + ndc] = cc
-        seg_start[off : off + ndc] = off
-        seg_end[off : off + ndc] = off + ndc
-        row_valid[off : off + ndc] = True
-        # contig-end nodes of interest (set_contig_ends :371-395)
+        cc = np.add.reduceat(s.cov, np.arange(0, len(s.cov), NODE))
+        cov_mean[off : off + ndch] = np.minimum(cc // NODE, 100).astype(np.uint8)
+        ndc[ci] = ndch
+        # contig-end nodes of interest (set_contig_ends :371-395): the end
+        # test uses the EXACT chunk sum, so it stays host-side
         end_l = not s.cap_l and cc[0] <= end_lim * NODE
         end_r = not s.cap_r and cc[-1] <= end_lim * NODE
-        if end_l:
-            noi[off] = True
-        if end_r:
-            noi[off + ndc - 1] = True
-        e_l[off : off + ndc] = end_l
-        e_r[off : off + ndc] = end_r
-        offsets[h] = (off, ndc)
-        off += ndc
-    # pad rows form their own empty segments
-    pad_rows = np.arange(total, n_pad, dtype=np.int32)
-    seg_start[total:] = pad_rows
-    seg_end[total:] = pad_rows + 1
-
-    import jax.numpy as jnp
+        noi_l[ci] = end_l
+        noi_r[ci] = end_r
+        e_lc[ci] = end_l
+        e_rc[ci] = end_r
+        offsets[h] = (off, ndch)
+        off += ndch
 
     ccl_ds = np.maximum(np.asarray(ccl) // NODE, 1).astype(np.int32)
     alpha, rho = 200 // NODE, 300 // NODE
     tc = max((lam - mu - 300) // NODE, 1.0)
     tbar0 = alpha + rho + mu // NODE
-    benefit, vec = _strategy_jit(
-        jnp.asarray(cov_chunked), jnp.asarray(seg_start), jnp.asarray(seg_end),
-        jnp.asarray(row_valid), jnp.asarray(noi), jnp.asarray(e_l), jnp.asarray(e_r),
-        jnp.float32(lowcov), jnp.asarray(ccl_ds), jnp.int32(mu // NODE),
-        jnp.float32(tc), jnp.float32(tbar0),
-    )
-    # exactly two D2H pulls: the benefit array and the packed scalars
-    ben_np = np.asarray(benefit)
-    thr_v, any_nz = np.asarray(vec)
-    thr_f = float(thr_v) if any_nz else 0.0
+    flat = np.asarray(_strategy_jit(
+        jnp.asarray(cov_mean), jnp.asarray(ndc), jnp.asarray(noi_l),
+        jnp.asarray(noi_r), jnp.asarray(e_lc), jnp.asarray(e_rc),
+        jnp.int32(total), jnp.float32(lowcov), jnp.asarray(ccl_ds),
+        jnp.int32(mu // NODE), jnp.float32(tc), jnp.float32(tbar0),
+    ))  # exactly ONE D2H pull: packed mask ++ [thr f32, pad, any_nz]
+    nbytes = (n_pad * 2) // 8
+    mask = np.unpackbits(flat[:nbytes], bitorder="little").astype(bool)
+    mask = mask.reshape(n_pad, 2)
+    thr_v = float(flat[nbytes : nbytes + 4].view(np.float32)[0])
+    any_nz = bool(flat[-1])
+    thr_f = thr_v if any_nz else 0.0
     strats = {}
     for h in names:
-        off, ndc = offsets[h]
-        strats[h] = ben_np[off : off + ndc] >= thr_f if thr_f > 0 else np.ones((ndc, 2), bool)
+        off, ndch = offsets[h]
+        strats[h] = mask[off : off + ndch]
     return strats, thr_f
