@@ -158,6 +158,111 @@ def test_contig_strategies_shapes_and_threshold():
     assert 0.0 < frac <= 1.0
 
 
+def _numpy_contig_strategies(contigs, ccl, lam, lowcov=10.0, mu=400,
+                             end_lim=50):
+    """Sequential numpy mirror of the device strategy kernel's spec
+    (aeons/benefit.py): sigmoid chunk scores, end nodes of interest,
+    segment-clamped window sums with virtual unit mass beyond uncapped
+    ends, exponent-bin threshold scan with ubar0 = sum(smu)."""
+    NODE = 100
+    names = list(contigs)
+    ccl_ds = np.maximum(np.asarray(ccl) // NODE, 1).astype(int)
+    weights = np.arange(0.1, 1.1, 0.1)[::-1]
+    mu_ds = mu // NODE
+    tc = max((lam - mu - 300) // NODE, 1.0)
+    tbar0 = 200 // NODE + 300 // NODE + mu_ds
+    bens, smus, meta = [], [], []
+    for h in names:
+        s = contigs[h]
+        cc = np.add.reduceat(s.cov, np.arange(0, len(s.cov), NODE))
+        cm = np.minimum(cc // NODE, 100).astype(np.float32)
+        sc = (1.0 / (np.exp(cm - np.float32(lowcov)) + 1.0)).astype(np.float32)
+        end_l = not s.cap_l and cc[0] <= end_lim * NODE
+        end_r = not s.cap_r and cc[-1] <= end_lim * NODE
+        if end_l:
+            sc[0] = 1.0
+        if end_r:
+            sc[-1] = 1.0
+        n = sc.shape[0]
+
+        def win_fwd(w):
+            out = np.zeros(n, np.float64)
+            for i in range(n):
+                hi = min(i + w, n)
+                out[i] = sc[i:hi].sum(dtype=np.float64)
+                if end_r:
+                    out[i] += min(max(i + w - n, 0), w)
+            return out
+
+        def win_rev(w):
+            out = np.zeros(n, np.float64)
+            for i in range(n):
+                lo = max(i + 1 - w, 0)
+                out[i] = sc[lo : i + 1].sum(dtype=np.float64)
+                if end_l:
+                    out[i] += min(max(0 - (i + 1 - w), 0), w)
+            return out
+
+        smu = np.stack([win_fwd(mu_ds), win_rev(mu_ds)], axis=-1)
+        eb = np.zeros((n, 2))
+        for i in range(10):
+            w = int(ccl_ds[i])
+            eb[:, 0] += weights[i] * win_fwd(w)
+            eb[:, 1] += weights[i] * win_rev(w)
+        bens.append(np.maximum(eb - smu, 0.0))
+        smus.append(smu)
+        meta.append((h, n))
+    b = np.concatenate([x.ravel() for x in bens])
+    smu_sum = float(np.concatenate([x.ravel() for x in smus]).sum())
+    nz = b[b > 0]
+    if nz.size == 0:
+        return {h: np.ones((n, 2), bool) for h, n in meta}, 0.0
+    norm = b.max()
+    _m, e = np.frexp(nz / norm)
+    idx = np.abs(e)
+    counts = np.bincount(idx, minlength=192).astype(float)
+    used = counts > 0
+    bin_ids = np.arange(192)
+    bbin = np.exp2(-bin_ids.astype(float)) * norm
+    cs_u = np.cumsum(bbin * counts) + smu_sum
+    cs_t = np.cumsum(tc * counts) + tbar0
+    peak = np.where(used, cs_u / cs_t, -np.inf)
+    kmax = int(np.argmax(peak))
+    after = np.flatnonzero(used & (bin_ids > kmax))
+    thr_idx = int(after[0]) if after.size else int(np.max(bin_ids[used]))
+    thr = float(bbin[thr_idx])
+    strats, off = {}, 0
+    for h, n in meta:
+        strats[h] = bens[names.index(h)] >= thr
+        off += n
+    return strats, thr
+
+
+def test_contig_strategies_matches_numpy_mirror(rng):
+    """Device kernel (uint8 upload, on-device segment expansion, bit-packed
+    mask pull) vs a sequential numpy mirror of its spec: same threshold and
+    >= 99.9% identical mask bits (the frexp-bin scan is ulp-robust; window
+    sums may differ in the last float32 bit)."""
+    contigs = {}
+    for name, L, base in (("cA", 25_000, 3.0), ("cB", 9_000, 20.0),
+                          ("cC", 14_000, 8.0)):
+        s = Sequence(name, "A" * L)
+        s.cov = (rng.uniform(0, 2 * base, L)).astype(np.float32)
+        contigs[name] = s
+    contigs["cB"].cap_l = True  # one capped end: no virtual mass there
+    ccl = np.array([20000, 14000, 10000, 7000, 5000, 3500, 2500, 1700, 900, 300])
+    dev, thr_dev = contig_strategies(contigs, ccl=ccl, lam=6000.0, lowcov=10)
+    ref, thr_ref = _numpy_contig_strategies(contigs, ccl, lam=6000.0, lowcov=10)
+    assert thr_ref > 0  # the drive must exercise a real threshold
+    assert thr_dev == pytest.approx(thr_ref, rel=1e-5)
+    total = agree = 0
+    for h in contigs:
+        assert dev[h].shape == ref[h].shape
+        total += dev[h].size
+        agree += int((dev[h] == ref[h]).sum())
+    assert agree / total >= 0.999, f"mask agreement {agree}/{total}"
+
+
 def test_uncapped_low_coverage_ends_are_kept(rng):
     # high coverage everywhere except the uncapped ends -> ends accepted
     s = Sequence("c", "A" * 40_000)
