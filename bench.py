@@ -73,11 +73,18 @@ def build_inputs(rng):
 
 
 def section_aligner():
-    """Live-alignment path: reads/s + mapped fraction (see scripts/bench_aligner)."""
+    """Live-alignment path: reads/s + mapped fraction (see scripts/bench_aligner).
+
+    N_READS (= the simulation's production batchsize, config.py batchsize
+    4000): the seeding kernel's dominant cost is the index-sized lookup
+    sort-join, which amortizes over the rows of one dispatch — throughput is
+    a function of batch size, so measure at the size the sim actually uses
+    (4000 reads fill the 4096-row big tier; 2000 reads measured ~4.4k
+    trunc reads/s against 7.3k at 4000)."""
     sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
     from bench_aligner import main as run_aligner_bench
 
-    run_aligner_bench(2000, trials=3)
+    run_aligner_bench(N_READS, trials=3)
 
 
 def section_sim(tmp: Path):
