@@ -282,6 +282,13 @@ def main():
                                       "vs_baseline": None,
                                       "detail": {"error": repr(e)[:300]}}),
                           flush=True)
+                # drop each section's device buffers (engine states, genome
+                # indexes) before the next: leftover HBM allocations from an
+                # 8 Mb section measurably slow the AEONS section (~2x on its
+                # ingest stage in a sequential run vs isolated)
+                import gc
+
+                gc.collect()
 
     from bossruns_tpu import oracle
     from bossruns_tpu.models.runs import ReadBatch, RunsEngine

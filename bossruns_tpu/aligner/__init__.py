@@ -264,128 +264,141 @@ class TpuAligner:
             cigars=cigs,
         )
 
-    def _candidate_jobs(self, g: int, rd: dict, q0: np.ndarray, min_len: int):
-        """Select DP-worthy candidates for one read and build their jobs.
+    def _candidate_plan(self, seeds: dict, mlen: np.ndarray, min_len: int):
+        """Vectorised candidate selection + query windows + mapq for a whole
+        bucket: all [n, NCAND] numpy (the former per-read scalar loops cost
+        ~40% of a 4000-read truncated batch in Python int() extraction).
 
-        Candidate 0 always qualifies (if voted enough); later candidates
-        qualify as split-read segments (disjoint query span — each its own
-        primary) or as repeat alternatives at >= SECONDARY_RATIO of the best
-        vote count (minimap2's pri_ratio analogue).
+        Semantics (unchanged from the scalar form):
+        - candidate 0 qualifies if voted enough; later candidates qualify as
+          split-read segments (disjoint query span — each its own primary) or
+          as repeat alternatives at >= SECONDARY_RATIO of the best vote count
+          (minimap2's pri_ratio analogue). Peel order is descending votes, so
+          a candidate only competes with LOWER-indexed ones.
+        - query windows: a lone candidate (or overlapping alternatives)
+          extends the FULL read — seed spans undershoot the true alignment by
+          hundreds of bases at ONT error rates. Only >=2 DISJOINT qualifying
+          candidates partition the query, at the midpoints between adjacent
+          seed spans (a full-read band cannot absorb a multi-kb soft clip).
+        - mapq: uniqueness vs the best OTHER voted cluster over >=
+          OVERLAP_FRAC of the same query span; split segments do not lower
+          each other's mapq (minimap2's per-chain mapq).
 
-        Query windows: a lone candidate (or overlapping alternatives) always
-        extends the FULL read — seed spans routinely undershoot the true
-        alignment by hundreds of bases at ONT error rates, so a fixed span
-        margin would mis-clip normal reads. Only when ≥2 DISJOINT candidates
-        claim different parts of the read (actual split evidence) is the
-        query partitioned, at the midpoints between adjacent seed spans —
-        a full-read band cannot absorb a multi-kb soft clip (the clip's
-        query bases consume no target, drifting off the band), a partition
-        window can.
-        """
-        m = q0.shape[0]
-        k = self.index.k
-        votes = rd["votes"]
-        cands: list[tuple[int, tuple[int, int]]] = []  # (cand idx, seed span)
-        for c in range(votes.shape[0]):
-            vi = int(votes[c])
-            if vi < self.min_votes:
-                break  # peeled in descending vote order
-            span_c = (int(rd["qmin"][c]), min(m, int(rd["qmax"][c]) + k))
-            if cands:
-                ov = max(_overlap_frac(span_c, s) for _, s in cands)
-                if ov >= OVERLAP_FRAC and vi < SECONDARY_RATIO * int(votes[0]):
-                    continue
-            cands.append((c, span_c))
-            if len(cands) >= MAX_ALIGNS:
-                break
-
-        jobs = []
-        for c, span_c in cands:
-            # query window: full read, cut back to the midpoint toward any
-            # DISJOINT sibling candidate on either side
-            qs, qe = 0, m
-            ctr = span_c[0] + span_c[1]
-            for c2, span2 in cands:
-                if c2 == c or _overlap_frac(span_c, span2) >= OVERLAP_FRAC:
-                    continue
-                if span2[0] + span2[1] < ctr:   # sibling is left of us
-                    qs = max(qs, min(span_c[0], (span2[1] + span_c[0]) // 2))
-                else:
-                    qe = min(qe, max(span_c[1], (span_c[1] + span2[0]) // 2))
-            slen = qe - qs
-            if slen < 50:
-                continue
-            strand_c = int(rd["strand"][c])
-            bkey = int(rd["bkey"][c])
-            # band width from the OBSERVED indel drift (diagonal cluster
-            # spread) + margin, instead of a worst-case 2% of read length:
-            # typical ONT drift keeps the band near the 64 floor, ~2-4x less
-            # DP work on long reads. Split segments widen the band by the
-            # window's overhang past the seeds, so an unaligned junction
-            # flank can soft-clip within the band.
-            dspan = int(rd["dspan"][c])
-            overhang = 0
-            if len(cands) > 1:
-                overhang = max(span_c[0] - qs, qe - span_c[1], 0) \
-                    if (qs > 0 or qe < m) else 0
-            half = int(np.clip(dspan // 2 + 48 + 0.005 * slen + overhang, 64, 1024))
-            seg = q0[qs:qe]
-            if strand_c:
-                seg = _RC[np.minimum(seg, 4)][::-1].copy()
-            # diagonal -> predicted target start of the SEGMENT: a fwd
-            # cluster's diagonal is (target pos - read pos), a rev cluster's
-            # (target pos + read pos) with the k-mer span correction
-            ts_pred = bkey + qs if not strand_c else bkey - qe + k
-            # clamp the window to the candidate's contig block so the DP
-            # never wanders into inter-contig padding
-            cid = int(np.searchsorted(self._block_starts, max(ts_pred, 0), side="right") - 1)
-            cid = min(max(cid, 0), len(self.layout.names) - 1)
-            blk_s, blk_e = int(self._block_starts[cid]), int(self._block_ends[cid])
-            ws = max(blk_s, ts_pred - half - 16)
-            we = min(blk_e, ts_pred + slen + half + 16)
-            if we - ws < min_len:
-                continue
-            jobs.append((g, c, seg, ws, we, max(0, ts_pred - ws), half, qs, qe))
-        return jobs
-
-    def _mapq(self, rd: dict, c: int, m: int) -> int:
-        """Uniqueness-based mapq of candidate c, calibrated to minimap2's
-        scale at the decision thresholds (q>=20/30/40, boss/paf.py:709-722
-        keys its tie-break on this): unique well-voted reads -> 60, a repeat
-        with an equal-vote twin -> 0. Competitors are other voted clusters
-        over (>= OVERLAP_FRAC of) the same query span — split-read segments
-        do NOT lower each other's mapq, matching minimap2's per-chain mapq.
+        Returns dict of [n, NCAND] arrays: use, qs, qe, half, ts_pred, ws,
+        we, mapq (mapq for ALL voted candidates, use/windows for selected).
         """
         k = self.index.k
-        votes = rd["votes"]
-        vi = int(votes[c])
-        span_c = (int(rd["qmin"][c]), min(m, int(rd["qmax"][c]) + k))
-        second = 0
-        for c2 in range(votes.shape[0]):
-            v2 = int(votes[c2])
-            if c2 == c or v2 <= 0:
-                continue
-            span2 = (int(rd["qmin"][c2]), min(m, int(rd["qmax"][c2]) + k))
-            if _overlap_frac(span_c, span2) >= OVERLAP_FRAC:
-                second = max(second, v2)
-        uniq = 1.0 - min(1.0, second / max(1, vi))
-        if vi >= 2 * self.min_votes:
-            return int(min(60, 60 * uniq))
-        return int(30 * uniq)
+        votes = seeds["votes"].astype(np.int64)        # [n, C]
+        n, C = votes.shape
+        span_lo = seeds["qmin"].astype(np.int64)
+        span_hi = np.minimum(mlen[:, None], seeds["qmax"].astype(np.int64) + k)
+        voted = votes >= self.min_votes
+        # peel emits descending votes; a sentinel row after the first
+        # below-threshold candidate never qualifies (matches the loop break)
+        voted &= np.cumprod(voted, axis=1).astype(bool)
+
+        # pairwise overlap fraction of seed spans [n, C, C]
+        inter = (np.minimum(span_hi[:, :, None], span_hi[:, None, :])
+                 - np.maximum(span_lo[:, :, None], span_lo[:, None, :]))
+        shorter = np.maximum(
+            1, np.minimum((span_hi - span_lo)[:, :, None],
+                          (span_hi - span_lo)[:, None, :])
+        )
+        ovl = np.maximum(inter, 0) / shorter >= OVERLAP_FRAC  # [n, C, C]
+
+        # qualification, in candidate order: c competes against SELECTED
+        # lower candidates. Selection of c depends only on earlier columns,
+        # so resolve the C columns sequentially (C=4 — four numpy passes).
+        use = np.zeros((n, C), bool)
+        use[:, 0] = voted[:, 0]
+        ratio_ok = votes >= SECONDARY_RATIO * votes[:, :1]
+        for c in range(1, C):
+            prev_ov = (ovl[:, c, :c] & use[:, :c]).any(axis=1)
+            use[:, c] = voted[:, c] & (~prev_ov | ratio_ok[:, c])
+        # MAX_ALIGNS cap (= NCAND; guard stays for smaller caps)
+        if MAX_ALIGNS < C:
+            use &= np.cumsum(use, axis=1) <= MAX_ALIGNS
+
+        # query windows: midpoint cuts toward DISJOINT qualifying siblings
+        ctr = span_lo + span_hi
+        disj = use[:, :, None] & use[:, None, :] & ~ovl
+        np.einsum("ncc->nc", disj)[:] = False  # no self-pairing
+        left_sib = disj & (ctr[:, None, :] < ctr[:, :, None])   # sibling c2 left of c
+        right_sib = disj & ~(ctr[:, None, :] < ctr[:, :, None])
+        right_sib &= disj  # keep only real siblings
+        # qs = max over left siblings of min(span_lo_c, (span_hi_2+span_lo_c)//2)
+        cut_l = np.minimum(span_lo[:, :, None],
+                           (span_hi[:, None, :] + span_lo[:, :, None]) // 2)
+        qs = np.max(np.where(left_sib, cut_l, 0), axis=2)
+        cut_r = np.maximum(span_hi[:, :, None],
+                           (span_hi[:, :, None] + span_lo[:, None, :]) // 2)
+        qe = np.min(np.where(right_sib, cut_r, mlen[:, None, None]), axis=2)
+        slen = qe - qs
+        # overhang eligibility counts the pre-slen-filter selection (the
+        # scalar form sized bands against every sibling in the list, even
+        # one later dropped for a short window)
+        multi = use.sum(axis=1) > 1
+        use = use & (slen >= 50)
+
+        # band: observed indel drift + margin (+ window overhang past the
+        # seeds for split segments, so a junction flank can soft-clip)
+        overhang = np.where(
+            multi[:, None] & ((qs > 0) | (qe < mlen[:, None])),
+            np.maximum(np.maximum(span_lo - qs, qe - span_hi), 0), 0,
+        )
+        dspan = seeds["dspan"].astype(np.int64)
+        half = np.clip(dspan // 2 + 48 + (slen * 0.005).astype(np.int64)
+                       + overhang, 64, 1024).astype(np.int64)
+
+        # diagonal -> predicted target start; clamp to the contig block
+        strand = seeds["strand"].astype(np.int64)
+        bkey = seeds["bkey"].astype(np.int64)
+        ts_pred = np.where(strand == 0, bkey + qs, bkey - qe + k)
+        cid = np.searchsorted(self._block_starts, np.maximum(ts_pred, 0),
+                              side="right") - 1
+        cid = np.clip(cid, 0, len(self.layout.names) - 1)
+        ws = np.maximum(self._block_starts[cid], ts_pred - half - 16)
+        we = np.minimum(self._block_ends[cid], ts_pred + slen + half + 16)
+        use &= (we - ws) >= min_len
+
+        # mapq for every voted candidate: best competing vote over the span
+        comp = ovl & (votes > 0)[:, None, :]
+        np.einsum("ncc->nc", comp)[:] = False
+        second = np.max(np.where(comp, votes[:, None, :], 0), axis=2)
+        uniq = 1.0 - np.minimum(1.0, second / np.maximum(1, votes))
+        mapq = np.where(votes >= 2 * self.min_votes,
+                        np.minimum(60, 60 * uniq), 30 * uniq).astype(np.int64)
+        return dict(use=use, qs=qs, qe=qe, half=half, ts_pred=ts_pred,
+                    ws=ws, we=we, mapq=mapq)
 
     def _extend_bucket(self, rids, enc, results, min_len, rows, cigs,
                        all_records: bool = False) -> None:
         """Banded-DP extension + record assembly for one bucket's seeds
         (host work — runs while later buckets' seeding kernels execute on
         the device)."""
+        group = list(results)
+        if not group:
+            return
+        seeds = {
+            f: np.stack([results[g][f] for g in group])
+            for f in SEED_FIELDS
+        }  # [n, NCAND]
+        mlen = np.array([enc[g].shape[0] for g in group], np.int64)
+        plan = self._candidate_plan(seeds, mlen, min_len)
+        use = plan["use"] & (mlen >= 50)[:, None]
         jobs = []
-        for g, rd in results.items():
-            if rd["votes"][0] < self.min_votes:
-                continue
-            q0 = enc[g]
-            if q0.shape[0] < 50:
-                continue
-            jobs.extend(self._candidate_jobs(g, rd, q0, min_len))
+        for r, c in zip(*np.nonzero(use)):
+            g = group[r]
+            qs, qe = int(plan["qs"][r, c]), int(plan["qe"][r, c])
+            seg = enc[g][qs:qe]
+            if seeds["strand"][r, c]:
+                seg = _RC[np.minimum(seg, 4)][::-1].copy()
+            ws, we = int(plan["ws"][r, c]), int(plan["we"][r, c])
+            ts_pred = int(plan["ts_pred"][r, c])
+            jobs.append((g, int(c), seg, ws, we, max(0, ts_pred - ws),
+                         int(plan["half"][r, c]), qs, qe))
+        mapq_of = {(group[r], c): int(plan["mapq"][r, c])
+                   for r, c in zip(*np.nonzero(seeds["votes"] > 0))}
         if not jobs:
             return
 
@@ -452,7 +465,7 @@ class TpuAligner:
                 "tlen": int(self.layout.lengths[cid]),
                 "tstart": ts - off, "tend": te - off, "nmatch": nmatch,
                 "blocklen": n_m + n_i + n_d,
-                "mapq": self._mapq(rd, c, m),
+                "mapq": mapq_of.get((g, c), 0),
                 "align_score": 2 * nmatch - int(cost[jix]),
                 "s1": int(rd["votes"][c]), "cig": cig,
             })
