@@ -466,9 +466,17 @@ class ShardedRunsEngine(RunsEngine):
         return super().strat_dict(state)
 
 
-def demo_sharded_step(n_devices: int | None = None, barcode_shards: int = 1, seed: int = 0):
-    """Build a small multi-contig genome, shard it over all devices, run one
-    full update step. Used by the multichip dry-run and as a living example.
+def demo_sharded_step(n_devices: int | None = None, barcode_shards: int = 1, seed: int = 0,
+                      n_steps: int = 3):
+    """Build a small multi-contig genome, shard it over all devices, run the
+    full update step ``n_steps`` times. Used by the multichip dry-run and as
+    a living example.
+
+    The simulated batch carries enough coverage (~6x mean per step over c1,
+    with 5% mismatches) that by the last step bucket switches flip on and the
+    threshold scan produces a REAL mask: callers can assert any_on and a
+    non-trivial accepted fraction, proving the whole decision path (not just
+    the coverage/score plumbing) executes under the sharded mesh.
     """
     devices = jax.devices()
     n = n_devices or len(devices)
@@ -484,25 +492,23 @@ def demo_sharded_step(n_devices: int | None = None, barcode_shards: int = 1, see
     eng = ShardedRunsEngine(layout, mesh)
     state = eng.init_state()
 
-    n_runs, run_len = 512, 64
-    rstart = rng.integers(0, 140_000 - run_len, n_runs).astype(np.int32)
+    n_runs, run_len = 768, 2048
+    rstart = rng.integers(0, 148_000 - run_len, n_runs).astype(np.int32)
     pos = np.concatenate([np.arange(s0, s0 + run_len) for s0 in rstart])
-    from ..io.coo_native import split_runs
+    sym = layout.seq_int[pos].astype(np.int8)
+    flip = rng.random(pos.shape[0]) < 0.05
+    sym[flip] = rng.integers(0, 4, int(flip.sum()))
+    from ..io.coo_native import pad_split, split_runs
 
-    mr_bc, mr_g, mr_len, ex_bcsym, ex_g = split_runs(
-        layout, layout.seq_int[pos].astype(np.int8),
+    split = split_runs(
+        layout, sym,
         np.full(pos.shape[0], 40, np.int8), rstart.astype(np.int64),
         np.full(n_runs, run_len, np.int32),
         rng.integers(0, nb, n_runs).astype(np.int32),
     )
-    me = max(ex_g.shape[0], 16)
-    from ..io.coo_native import EX_PAD
-
     batch = eng.put_batch(
         ReadBatch(
-            mr_bc=mr_bc, mr_g=mr_g, mr_len=mr_len,
-            ex_bcsym=np.zeros(me, np.uint16),
-            ex_g=np.full(me, EX_PAD, np.uint32),
+            **pad_split(split),
             rs_row=rng.integers(0, layout.n_fhat, 512).astype(np.int32),
             rs_strand=rng.integers(0, 2, 512).astype(np.int32),
             rs_w=np.ones(512, np.float32),
@@ -511,6 +517,8 @@ def demo_sharded_step(n_devices: int | None = None, barcode_shards: int = 1, see
     params = eng.make_params(
         np.array([30000, 20000, 14000, 10000, 7000, 5000, 3500, 2200, 1200, 400]), 5300.0
     )
-    state, aux = eng.step(state, batch, params)
+    aux = None
+    for _ in range(n_steps):
+        state, aux = eng.step(state, batch, params)
     jax.block_until_ready(state)
     return eng, state, aux
