@@ -77,3 +77,32 @@ def test_empty_inputs():
     idx2 = build_index(base, np.ones(5000, bool))
     out2 = host_seed_topn([encode("ACGT" * 100)], idx2, 512)
     assert out2["votes"].shape == (1, NCAND)
+
+
+def test_cpu_aligner_matches_tpu_records(corpus_small):
+    """CpuAligner (host seeding + native DP) emits byte-identical records to
+    TpuAligner — they share candidate planning and extension, and seeding is
+    pinned identical above."""
+    from bossruns_tpu.aligner import TpuAligner
+    from bossruns_tpu.aligner.cpu_baseline import CpuAligner
+    from bossruns_tpu.models.layout import build_layout
+
+    rng = np.random.default_rng(99)
+    G = 120_000
+    base = rng.integers(0, 4, G).astype(np.uint8)
+    B = np.array(list("ACGT"))
+    genome = {"g": "".join(B[base])}
+    lay = build_layout({"g": base})
+    sim = simulate_reads(rng, genome, 120, mean_len=1200.0, sd_len=500.0)
+    seqs = {r.rid: r.seq for r in sim}
+    tpu = TpuAligner(lay, k=15, w=10, min_votes=4)
+    cpu = CpuAligner(lay, k=15, w=10, min_votes=4)
+    for kw in (dict(trunc=True), dict()):
+        rt = tpu.map_sequences(seqs, **kw)
+        rc = cpu.map_sequences(seqs, **kw)
+        assert list(rt.qname) == list(rc.qname)
+        for f in ("qstart", "qend", "rev", "tstart", "tend", "nmatch",
+                  "blocklen", "mapq", "align_score", "s1", "primary"):
+            np.testing.assert_array_equal(getattr(rt, f), getattr(rc, f), err_msg=f)
+        for a, b in zip(rt.cigars, rc.cigars):
+            np.testing.assert_array_equal(a, b)
