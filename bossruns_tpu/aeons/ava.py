@@ -39,15 +39,23 @@ class PoolIndex:
             concat[s : s + e.shape[0]] = e
         valid = concat < 4
         idx = build_index(np.where(valid, concat, 0).astype(np.uint8), valid, k=k, w=w, max_occ=max_occ)
-        # pad floors sized for a few-hundred-kb working pool; the 2x pad
-        # hysteresis absorbs batch-to-batch wobble and bigger pools grow the
-        # pad once per doubling. Keys dominate both the per-call H2D upload
-        # (20 B/key-slot: 2^17 -> 2.5 MB vs 2^18 -> 5 MB at ~60 MB/s on the
-        # tunneled chip) and the lookup sort-join volume, so an oversized
-        # floor taxes EVERY seeding call.
         self.host = idx  # host MinimizerIndex (CSR offsets/positions)
-        self.dev = DeviceIndex(idx, min_keys_pad=1 << 17, min_pos_pad=1 << 18)
+        self._dev: DeviceIndex | None = None
         self.k = k
+
+    @property
+    def dev(self) -> DeviceIndex:
+        """Device copy, built lazily: host-seeded batches (the common case
+        for working pools, see find_overlaps) never pay the index upload.
+
+        Pad floors sized for a few-hundred-kb working pool; the 2x pad
+        hysteresis absorbs batch-to-batch wobble and bigger pools grow the
+        pad once per doubling. Keys dominate both the per-call H2D upload
+        and the lookup sort-join volume, so an oversized floor taxes EVERY
+        seeding call."""
+        if self._dev is None:
+            self._dev = DeviceIndex(self.host, min_keys_pad=1 << 17, min_pos_pad=1 << 18)
+        return self._dev
 
     def locate(self, gpos: int) -> int:
         """Global concat position -> sequence index."""
@@ -83,6 +91,17 @@ def _bucketize(enc: list[np.ndarray]):
     return groups
 
 
+#: host/device seeding dispatch thresholds. Host and device seeding are
+#: bit-identical (tests/test_host_seed.py); the choice is pure performance.
+#: A device ava call pays the index H2D upload, the kernel launch and a
+#: ~33 ms tunnel D2H per bucket; vectorised host seeding beats that up to
+#: multi-Mb working pools, which covers every AEONS experiment short of a
+#: large metagenome. Past the thresholds, the device's sort-join throughput
+#: wins. Override per call with host=True/False.
+HOST_MAX_MINIMIZERS = 8_000_000
+HOST_MAX_QUERY_BASES = 64_000_000
+
+
 def find_overlaps(
     queries: dict[str, str],
     pool_index: PoolIndex,
@@ -90,24 +109,42 @@ def find_overlaps(
     ncand: int = 4,
     exclude_self: bool = True,
     merge: bool = False,
+    host: bool | None = None,
 ):
     """Seed queries against the pool; yield overlap candidate rows.
 
     Returns dict of columnar arrays (qname/qlen/qstart/qend/rev/tname/tlen/
     tstart/tend/nmatch/blocklen/s1) with approximate chain-extent coords.
+
+    host: run the seeding on host (aligner/host_seed.py) instead of the
+    device kernel; None = auto by pool/query size. Identical results either
+    way — the host mirror is pinned bit-identical to the device kernel.
     """
+    from ..aligner.host_seed import host_seed_candidates
+
     qnames = list(queries)
     enc = [encode(queries[q]) for q in qnames]
+    if host is None:
+        host = (
+            pool_index.host.n_minimizers <= HOST_MAX_MINIMIZERS
+            and sum(e.shape[0] for e in enc) <= HOST_MAX_QUERY_BASES
+        )
     rows: dict[str, list] = {k: [] for k in (
         "qname qlen qstart qend rev tname tlen tstart tend nmatch blocklen s1".split()
     )}
     k = pool_index.k
     for L, group in _bucketize(enc):
-        rows_p = max(ROW_FLOOR, 1 << int(np.ceil(np.log2(max(len(group), 1)))))
-        mat = np.full((rows_p, L), 4, np.int8)
-        for r, g in enumerate(group):
-            mat[r, : min(enc[g].shape[0], L)] = enc[g][:L]
-        cands = seed_candidates(mat, pool_index.dev, ncand=ncand)
+        if host:
+            cands = host_seed_candidates(
+                [enc[g][:L] for g in group], pool_index.host, ncand=ncand, L=L
+            )
+            cands = {f: np.asarray(v) for f, v in cands.items()}
+        else:
+            rows_p = max(ROW_FLOOR, 1 << int(np.ceil(np.log2(max(len(group), 1)))))
+            mat = np.full((rows_p, L), 4, np.int8)
+            for r, g in enumerate(group):
+                mat[r, : min(enc[g].shape[0], L)] = enc[g][:L]
+            cands = seed_candidates(mat, pool_index.dev, ncand=ncand)
         nc = cands["votes"].shape[1]
         for r, g in enumerate(group):
             qname = qnames[g]

@@ -79,6 +79,7 @@ class BossAeonsSim(BossAeons):
             self.unmapped_count = len(read_sequences)
             return dict(read_sequences)
         from ..aligner import TpuAligner
+        from ..aligner.cpu_baseline import CpuAligner
         from ..models.layout import build_layout
 
         # rebuild the decision index only when the contig set changed:
@@ -89,8 +90,16 @@ class BossAeonsSim(BossAeons):
         if key != getattr(self, "_decide_key", None):
             layout = build_layout(contigs.seqdict(), min_len=500)
             # noisy-vs-noisy mapping needs denser seeds: the reference's
-            # AEONS sim mapper uses k=13, w=5 (boss/mapper.py:47-48)
-            self._decide_aligner = TpuAligner(layout, k=13, w=5, min_votes=2)
+            # AEONS sim mapper uses k=13, w=5 (boss/mapper.py:47-48).
+            # Small contig pools map on HOST (record-identical to the device
+            # path, tests/test_host_seed.py): a 500-read mu-prefix batch
+            # against a few-Mb pool is latency-bound on kernel launches and
+            # tunnel round trips, not compute — the device aligner takes
+            # over when the assembly outgrows the threshold.
+            if int(layout.lengths.sum()) <= 64_000_000:
+                self._decide_aligner = CpuAligner(layout, k=13, w=5, min_votes=2)
+            else:
+                self._decide_aligner = TpuAligner(layout, k=13, w=5, min_votes=2)
             self._decide_key = key
         aligner = self._decide_aligner
         rec = aligner.map_sequences(read_sequences, trunc=True)
