@@ -1,20 +1,37 @@
-"""Benchmark suite: the three hot paths on real TPU hardware.
+"""Benchmark suite: the hot paths on real TPU hardware.
 
-Sections (one JSON line each; the HEADLINE metric prints LAST):
-  1. aligner_reads_per_s      — live-alignment path: full + mu=400 truncated
-                                mapping of 2000 noisy reads (k13/w5 profile)
-  2. sim_batch_p50_latency    — end-to-end PAF-driven simulation batch
-                                (sample -> decide -> pack -> device step)
-  3. aeons_batch_p50_latency  — AEONS update (ava/assembly/strategy) batch
-  4. strategy_update_p50_latency — the jitted BOSS-RUNS update step on a
-                                zymo-scale genome (~8 Mb, 3 contigs) with a
-                                4000-read batch, vs the float64 NumPy oracle
-                                of the same pipeline on CPU (the stand-in for
-                                CPU BOSS-RUNS; see bossruns_tpu/oracle.py)
+Sections (one JSON line each), in order:
+  1. strategy_update_p50_latency — THE HEADLINE: the jitted BOSS-RUNS update
+     step on a zymo-scale genome (~8 Mb, 3 contigs) with a 4000-read batch,
+     f64 decision path (+ f32 comparison), vs the float64 NumPy oracle of
+     the same pipeline on CPU (the stand-in for CPU BOSS-RUNS;
+     bossruns_tpu/oracle.py). Printed FIRST so a driver timeout can never
+     lose it, and RE-PRINTED last so the driver's last-line parse picks it.
+  2. aligner_{trunc,full}_reads_per_s — live-alignment path vs the CPU
+     baseline aligner (host seeding + native DP, 4 threads — the mappy
+     stand-in; scripts/bench_aligner.py)
+  3. sim_batch_p50_latency — end-to-end PAF-driven simulation batch
+  4. aeons_batch_p50_latency — AEONS update (ava/assembly/strategy) batch
+  5. chromosome-scale single-chip point (134 Mb)
+  6. conformance_mask_agreement — engine (quirk mode) vs the bug-compatible
+     reference oracle on the zymo-like corpus (bossruns_tpu/conformance.py)
 
-vs_baseline = CPU-baseline latency / TPU latency for the headline (higher is
-better; target >= 10x per BASELINE.md). Sections 1-3 can be skipped with
-BENCH_ONLY=step for a quick headline-only run.
+Budget discipline (VERDICT r3 item 1: BENCH_r03 timed out at rc=124 and
+lost the headline — post-mortem: the driver's bench starts from an EMPTY
+XLA compile cache when the workspace is re-provisioned, and a remote axon
+compile costs 2-8 MINUTES per shape, so the old sequential suite burned its
+whole budget compiling): the headline prints the moment its f64 number
+exists; every other section runs as a SUBPROCESS under a hard timeout sized
+from the remaining budget (BENCH_BUDGET_S, default 1500 s), so no section —
+compiling or not — can eat the suite. A cold cache is detected from the
+headline's own compile time and switches the section estimates to their
+cold brackets (sections that cannot fit are skipped with an explicit line).
+All compiles land in the persistent cache (.jax_cache), so even a partially
+skipped cold run warms the next one. The process always exits 0.
+
+vs_baseline = CPU-baseline latency / TPU latency (higher is better; target
+>= 10x for the headline per BASELINE.md). BENCH_ONLY=step runs only the
+headline.
 """
 import json
 import os
@@ -31,6 +48,22 @@ MEAN_LEN = 3500
 GENOME = {"chr1": 4_050_000, "chr2": 2_000_000, "chr3": 2_000_000}
 CCL = np.array([30000, 20000, 14000, 10000, 7000, 5000, 3500, 2200, 1200, 400])
 TIME_COST = 5300.0
+
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 900))
+T0 = time.monotonic()
+#: persistent scratch next to the repo: the sim/aeons corpora are
+#: deterministic (fixed rng), so later runs (and driver rounds) reuse them
+CACHE = Path(__file__).resolve().parent / ".bench_cache"
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.monotonic() - T0)
+
+
+def emit(obj) -> None:
+    print(json.dumps(obj), flush=True)
+
+
 
 
 def build_inputs(rng):
@@ -52,11 +85,9 @@ def build_inputs(rng):
     sym = layout.seq_int[pos].astype(np.int8)
     flip = rng.random(pos.shape[0]) < 0.05
     sym[flip] = rng.integers(0, 5, int(flip.sum()))
-    from bossruns_tpu.io.coo_native import split_runs
+    from bossruns_tpu.io.coo_native import pad_split, split_runs
 
     qual = np.full(sym.shape[0], 40, np.int8)
-    from bossruns_tpu.io.coo_native import pad_split
-
     split = split_runs(
         layout, sym, qual, rstart.astype(np.int64), rlen.astype(np.int32),
         np.zeros(N_READS, np.int32),
@@ -72,34 +103,147 @@ def build_inputs(rng):
     return layout, batch_np
 
 
-def section_aligner():
-    """Live-alignment path: reads/s + mapped fraction (see scripts/bench_aligner).
+def section_headline():
+    """The strategy-update step: TPU f64 (+f32) vs the CPU f64 oracle.
 
-    N_READS (= the simulation's production batchsize, config.py batchsize
-    4000): the seeding kernel's dominant cost is the index-sized lookup
-    sort-join, which amortizes over the rows of one dispatch — throughput is
-    a function of batch size, so measure at the size the sim actually uses
-    (4000 reads fill the 4096-row big tier; 2000 reads measured ~4.4k
-    trunc reads/s against 7.3k at 4000)."""
+    The f64 record is emitted the MOMENT it exists (a driver timeout can
+    never lose the headline); the f32 comparison runs afterwards, budget
+    permitting, and enriches the final re-printed record. Returns
+    (record, compile_s) — compile_s > 90 s flags a cold compile cache.
+    """
+    import jax
+
+    from bossruns_tpu import oracle
+    from bossruns_tpu.models.runs import (ReadBatch, RunsConfig, RunsEngine)
+
+    rng = np.random.default_rng(11)
+    layout, batch_np = build_inputs(rng)
+    eng = RunsEngine(layout)
+    state = eng.init_state()
+    batch = ReadBatch(**{k: jax.device_put(v) for k, v in batch_np.items()})
+    params = eng.make_params(CCL, TIME_COST)
+
+    # -- TPU timing ---------------------------------------------------------
+    t0 = time.perf_counter()
+    state, aux = eng.step(state, batch, params)  # compile + step 0
+    eng.pull_aux(aux)
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        state, aux = eng.step(state, batch, params)
+        # production sync: one packed D2H pull of the step scalars (a D2H
+        # round trip costs ~33 ms on a tunneled chip regardless of size)
+        eng.pull_aux(aux)
+        times.append(time.perf_counter() - t0)
+    tpu_p50 = float(np.median(times)) * 1000.0
+
+    # -- CPU f64 baseline (one step, same pipeline) -------------------------
+    st_np = {
+        "coverage": np.zeros((1, 5, layout.G_pad), np.int32),
+        "zeroed": np.zeros((1, layout.G_pad), bool),
+        "bucket_on": np.zeros((1, layout.NBk_pad), bool),
+        "read_starts": np.zeros((layout.Wf_pad, 2)),
+        "strat": np.ones((1, layout.Gd_pad, 2), bool),
+    }
+    cpu_ms = float("inf")
+    for _ in range(2):  # min of 2: robust to transient host load
+        t0 = time.perf_counter()
+        oracle.full_update(eng, st_np, batch_np, CCL, TIME_COST, fast_scores=True)
+        cpu_ms = min(cpu_ms, (time.perf_counter() - t0) * 1000.0)
+
+    total_bases = int(batch_np["mr_len"].sum(dtype=np.int64)) + int(
+        (batch_np["ex_g"] != 0xFFFFFFFF).sum()
+    )
+    record = {
+        "metric": "strategy_update_p50_latency",
+        "value": round(tpu_p50, 3),
+        "unit": "ms",
+        "vs_baseline": round(cpu_ms / tpu_p50, 2),
+        "detail": {
+            "genome_sites": int(sum(GENOME.values())),
+            "reads_per_batch": N_READS,
+            "bases_per_batch": total_bases,
+            "reads_per_s": round(N_READS / (tpu_p50 / 1000.0), 1),
+            "cpu_baseline_ms": round(cpu_ms, 1),
+            "f64_ms": round(tpu_p50, 3),
+            "f32_ms": None,
+        },
+    }
+    emit(record)  # the headline is now on the record, whatever happens next
+
+    # -- f32 decision path (what the f64 exactness contract costs;
+    #    identical math apart from benefit/threshold dtype) ------------------
+    f32_budget = 420 if compile_s > 90 else 90
+    if remaining() > f32_budget:
+        try:
+            eng32 = RunsEngine(layout, config=RunsConfig(benefit_dtype="float32"))
+            params32 = eng32.make_params(CCL, TIME_COST)
+            st32 = eng32.init_state()
+            st32, aux32 = eng32.step(st32, batch, params32)
+            eng32.pull_aux(aux32)
+            t32 = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                st32, aux32 = eng32.step(st32, batch, params32)
+                eng32.pull_aux(aux32)
+                t32.append(time.perf_counter() - t0)
+            record["detail"]["f32_ms"] = round(float(np.median(t32)) * 1000.0, 3)
+        except Exception as e:  # noqa: BLE001
+            emit({"metric": "f32_headline_error", "value": None, "unit": None,
+                  "vs_baseline": None, "detail": {"error": repr(e)[:200]}})
+    return record, compile_s
+
+
+def section_aligner():
+    """Live-alignment path: TPU reads/s vs the 4-thread CPU baseline
+    (scripts/bench_aligner.py).
+
+    N_READS (= the simulation's production batchsize): the seeding kernel's
+    dominant cost is the index-sized lookup sort-join, which amortizes over
+    the rows of one dispatch, so measure at the size the sim actually
+    uses."""
     sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
     from bench_aligner import main as run_aligner_bench
 
     run_aligner_bench(N_READS, trials=3)
 
 
-def section_sim(tmp: Path):
-    """End-to-end PAF-driven simulation batch: sample -> decide -> pack -> step."""
-    from bossruns_tpu.models.runs_sim import BossRunsSim
+def _cached_corpus(dirname: str, **kw) -> dict:
+    """write_corpus with a reuse marker: the corpora are deterministic
+    (fixed rng), so later runs and driver rounds skip regeneration."""
     from bossruns_tpu.utils.datagen import write_corpus
 
-    paths = write_corpus(
-        tmp / "corpus", rng=np.random.default_rng(3),
+    out = CACHE / dirname
+    done = out / ".complete"
+    paths = {
+        "ref": str(out / "ref.fa"), "fq": str(out / "reads.fq"),
+        "paf_full": str(out / "full.paf"), "paf_trunc": str(out / "trunc.paf"),
+    }
+    if done.exists() and all(Path(p).exists() for p in paths.values()):
+        return paths
+    paths = write_corpus(out, **kw)
+    done.write_text("ok")
+    return paths
+
+
+def section_sim():
+    """End-to-end PAF-driven simulation batch: sample -> decide -> pack ->
+    step. The corpus is deterministic and cached in .bench_cache."""
+    import shutil
+
+    from bossruns_tpu.models.runs_sim import BossRunsSim
+
+    paths = _cached_corpus(
+        "sim_corpus", rng=np.random.default_rng(3),
         contig_lengths=GENOME, n_reads=N_READS * 10, mean_len=float(MEAN_LEN),
     )
+    out = CACHE / "sim_out"
+    shutil.rmtree(out, ignore_errors=True)
     sim = BossRunsSim(
         ref=paths["ref"], fq=paths["fq"], paf_full=paths["paf_full"],
         paf_trunc=paths["paf_trunc"], name="bench", batchsize=N_READS,
-        maxb=6, out_base=tmp / "sim",
+        maxb=8, out_base=out,
     )
     sim.process_batch()  # compile + warm
     times = []
@@ -108,14 +252,15 @@ def section_sim(tmp: Path):
         sim.process_batch()
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times))
-    print(json.dumps({
+    emit({
         "metric": "sim_batch_p50_latency",
         "value": round(p50 * 1000.0, 1),
         "unit": "ms",
         "vs_baseline": None,
         "detail": {"reads_per_batch": N_READS,
-                   "reads_per_s": round(N_READS / p50, 1)},
-    }), flush=True)
+                   "reads_per_s": round(N_READS / p50, 1),
+                   "phase_p50_ms": sim.phase_p50_ms()},
+    })
 
 
 def _aeons_strategy_numpy(contigs, ccl, lam, lowcov=10.0, mu=400):
@@ -151,18 +296,20 @@ def _aeons_strategy_numpy(contigs, ccl, lam, lowcov=10.0, mu=400):
     return float(bbin[min(int(np.argmax(cs_u / cs_t)) + 1, used.size - 1)])
 
 
-def section_aeons(tmp: Path):
+def section_aeons():
     """AEONS update batch: ava + assembly + contig strategies, warm.
-    Reports per-stage medians (VERDICT r2 item 5) and a CPU-numpy baseline
-    ratio for the strategy stage."""
+    Reports per-stage medians and a CPU-numpy baseline ratio for the
+    strategy stage."""
+    import shutil
+
     from bossruns_tpu.aeons.simulation import BossAeonsSim
     from bossruns_tpu.config import BossConfig
-    from bossruns_tpu.utils.datagen import write_corpus
 
-    paths = write_corpus(
-        tmp / "acorpus", rng=np.random.default_rng(21),
+    paths = _cached_corpus(
+        "aeons_corpus", rng=np.random.default_rng(21),
         contig_lengths={"gA": 300_000}, n_reads=4000, mean_len=5000.0,
     )
+
     def make_args(name):
         args = BossConfig()
         args.general.name = name
@@ -179,11 +326,16 @@ def section_aeons(tmp: Path):
     # seconds via the persistent cache, minutes uncached). The sampler is
     # deterministic, so a twin sim run through the SAME batches loads every
     # shape the timed run will hit — the timed run then measures pure
-    # steady-state work.
-    warm = BossAeonsSim(make_args("aeons_warm"), out_base=tmp / "aeons_warm")
-    for _ in range(4):
-        warm.process_batch()
-    sim = BossAeonsSim(make_args("aeons_bench"), out_base=tmp / "aeons")
+    # steady-state work. Skipped (with a detail note) when the budget is
+    # tight: the timed numbers then include shape-load noise.
+    warmed = remaining() > 240
+    if warmed:
+        shutil.rmtree(CACHE / "aeons_warm", ignore_errors=True)
+        warm = BossAeonsSim(make_args("aeons_warm"), out_base=CACHE / "aeons_warm")
+        for _ in range(4):
+            warm.process_batch()
+    shutil.rmtree(CACHE / "aeons_out", ignore_errors=True)
+    sim = BossAeonsSim(make_args("aeons_bench"), out_base=CACHE / "aeons_out")
     sim.process_batch()  # in-run warm batch (mirrors the twin's first)
     times, stages = [], []
     for _ in range(3):
@@ -197,9 +349,6 @@ def section_aeons(tmp: Path):
         for k in stages[-1]
     }
     # strategy-stage baseline, device vs CPU numpy, at metagenome scale
-    # (40 contigs x 200 kb = 8 Mb of contig coverage — the scale the device
-    # kernel exists for; at the tiny bench-sim scale the ~33 ms tunnel
-    # round trips dominate and numpy wins)
     from bossruns_tpu.aeons.benefit import contig_strategies
 
     class _C:
@@ -230,142 +379,142 @@ def section_aeons(tmp: Path):
     # the per-site work dominates and the device kernel pulls ahead)
     dev8_ms, cpu8_ms = strat_pair(40)
     dev40_ms, cpu40_ms = strat_pair(200)
-    print(json.dumps({
+    emit({
         "metric": "aeons_batch_p50_latency",
         "value": round(p50 * 1000.0, 1),
         "unit": "ms",
         "vs_baseline": round(cpu40_ms / dev40_ms, 2),
         "detail": {"reads_per_batch": 500,
                    "n_contigs": len(sim.strat),
+                   "shape_warmed": warmed,
                    "stage_p50_ms": stage_p50,
                    "strategy_8mb_device_ms": round(dev8_ms, 1),
                    "strategy_8mb_cpu_ms": round(cpu8_ms, 1),
                    "strategy_40mb_device_ms": round(dev40_ms, 1),
                    "strategy_40mb_cpu_ms": round(cpu40_ms, 1)},
-    }), flush=True)
+    })
 
 
 def section_scale():
-    """Chromosome-scale single-chip point (VERDICT r2 item 4: driver-visible
-    scale): the full jitted step on a 134 Mb genome — the largest
-    single-chip size from scripts/bench_scale.py — emitted as a BENCH line."""
+    """Chromosome-scale single-chip point: the full jitted step on a 134 Mb
+    genome — the largest single-chip size from scripts/bench_scale.py."""
     sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
     from bench_scale import one_size
 
-    print(json.dumps(one_size(134.0)), flush=True)
+    emit(one_size(134.0))
 
 
-def main():
-    import tempfile
+def section_conformance():
+    """Engine (quirk mode) vs the bug-compatible reference oracle on the
+    zymo-like corpus (9 contigs / 12.6 Mb): decision-level parity at
+    realistic scale, reported as a mask-agreement fraction."""
+    from bossruns_tpu.conformance import drive_zymo_conformance
 
+    out = drive_zymo_conformance(n_batches=2, reads_per_batch=12_000)
+    emit({
+        "metric": "conformance_mask_agreement",
+        "value": round(out["min_agreement"], 6),
+        "unit": "fraction",
+        "vs_baseline": None,
+        "detail": {"per_batch": [round(a, 6) for a in out["per_batch"]],
+                   "n_contigs": out["n_contigs"],
+                   "n_sites": out["n_sites"],
+                   "any_on": out["any_on"]},
+    })
+
+
+SECTIONS = {
+    "aligner": section_aligner,
+    "sim_batch": section_sim,
+    "aeons_batch": section_aeons,
+    "scale": section_scale,
+    "conformance": section_conformance,
+}
+
+#: per-section wall estimates [warm-cache, cold-cache] incl. ~45 s of jax
+#: startup per subprocess. Cold = every kernel shape is a 2-8 min remote
+#: compile; sections that cannot fit the remaining budget are skipped.
+SECTION_EST = {
+    "aligner": (240, 1500),
+    "sim_batch": (210, 600),
+    "aeons_batch": (300, 900),
+    "scale": (210, 700),
+    "conformance": (240, 500),
+}
+#: seconds reserved at the end for the final headline re-print
+RESERVE = 20
+
+
+def _init_jax():
     import jax
 
-    # persistent compile cache: first-ever run pays ~4 min of XLA compile,
-    # later runs (and driver rounds) hit the cache
+    CACHE.mkdir(exist_ok=True)
+    # persistent compile cache: shared by parent, section subprocesses and
+    # later driver rounds — a cold run warms every run after it
     jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # production decision precision: f64 benefit/threshold (TPU emulates f64
     # as a float-float pair; the arrays are genome/100-sized so this is cheap)
     jax.config.update("jax_enable_x64", True)
 
+
+def main():
+    import subprocess
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--section":
+        _init_jax()
+        name = sys.argv[2]
+        try:
+            SECTIONS[name]()
+        except Exception as e:  # noqa: BLE001 - report, exit 0
+            emit({"metric": f"{name}_error", "value": None, "unit": None,
+                  "vs_baseline": None, "detail": {"error": repr(e)[:300]}})
+        return
+
+    _init_jax()
+    headline, compile_s = None, 0.0
+    try:
+        headline, compile_s = section_headline()
+    except Exception as e:  # noqa: BLE001
+        emit({"metric": "strategy_update_error", "value": None, "unit": None,
+              "vs_baseline": None, "detail": {"error": repr(e)[:300]}})
+    cold = compile_s > 90
+    if cold:
+        emit({"metric": "bench_cold_cache", "value": round(compile_s, 1),
+              "unit": "s", "vs_baseline": None,
+              "detail": {"note": "headline compile was a cold remote compile;"
+                                 " using cold section budgets"}})
+
     if os.environ.get("BENCH_ONLY", "") != "step":
-        with tempfile.TemporaryDirectory(prefix="boss_bench_") as td:
-            for section in (section_aligner,
-                            lambda: section_sim(Path(td)),
-                            lambda: section_aeons(Path(td)),
-                            section_scale):
-                try:
-                    section()
-                except Exception as e:  # a section must not kill the headline
-                    print(json.dumps({"metric": "section_error",
-                                      "value": None, "unit": None,
-                                      "vs_baseline": None,
-                                      "detail": {"error": repr(e)[:300]}}),
-                          flush=True)
-                # drop each section's device buffers (engine states, genome
-                # indexes) before the next: leftover HBM allocations from an
-                # 8 Mb section measurably slow the AEONS section (~2x on its
-                # ingest stage in a sequential run vs isolated)
-                import gc
-
-                gc.collect()
-
-    from bossruns_tpu import oracle
-    from bossruns_tpu.models.runs import ReadBatch, RunsEngine
-
-    rng = np.random.default_rng(11)
-    layout, batch_np = build_inputs(rng)
-    eng = RunsEngine(layout)
-    state = eng.init_state()
-    batch = ReadBatch(**{k: jax.device_put(v) for k, v in batch_np.items()})
-    params = eng.make_params(CCL, TIME_COST)
-
-    # -- TPU timing ---------------------------------------------------------
-    state, aux = eng.step(state, batch, params)  # compile + step 0
-    eng.pull_aux(aux)
-    times = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        state, aux = eng.step(state, batch, params)
-        # production sync: one packed D2H pull of the step scalars (a D2H
-        # round trip costs ~33 ms on a tunneled chip regardless of size)
-        eng.pull_aux(aux)
-        times.append(time.perf_counter() - t0)
-    tpu_p50 = float(np.median(times)) * 1000.0
-
-    # -- f32 decision path (VERDICT r2 item 6: what the f64 exactness
-    #    contract costs; identical math apart from benefit/threshold dtype) --
-    from bossruns_tpu.models.runs import RunsConfig
-
-    eng32 = RunsEngine(layout, config=RunsConfig(benefit_dtype="float32"))
-    params32 = eng32.make_params(CCL, TIME_COST)
-    st32 = eng32.init_state()
-    st32, aux32 = eng32.step(st32, batch, params32)
-    eng32.pull_aux(aux32)
-    t32 = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        st32, aux32 = eng32.step(st32, batch, params32)
-        eng32.pull_aux(aux32)
-        t32.append(time.perf_counter() - t0)
-    f32_p50 = float(np.median(t32)) * 1000.0
-
-    # -- CPU f64 baseline (one step, same pipeline) -------------------------
-    st_np = {
-        "coverage": np.zeros((1, 5, layout.G_pad), np.int32),
-        "zeroed": np.zeros((1, layout.G_pad), bool),
-        "bucket_on": np.zeros((1, layout.NBk_pad), bool),
-        "read_starts": np.zeros((layout.Wf_pad, 2)),
-        "strat": np.ones((1, layout.Gd_pad, 2), bool),
-    }
-    cpu_ms = float("inf")
-    for _ in range(2):  # min of 2: robust to transient host load
-        t0 = time.perf_counter()
-        oracle.full_update(eng, st_np, batch_np, CCL, TIME_COST, fast_scores=True)
-        cpu_ms = min(cpu_ms, (time.perf_counter() - t0) * 1000.0)
-
-    total_bases = int(batch_np["mr_len"].sum(dtype=np.int64)) + int(
-        (batch_np["ex_g"] != 0xFFFFFFFF).sum()
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "strategy_update_p50_latency",
-                "value": round(tpu_p50, 3),
-                "unit": "ms",
-                "vs_baseline": round(cpu_ms / tpu_p50, 2),
-                "detail": {
-                    "genome_sites": int(sum(GENOME.values())),
-                    "reads_per_batch": N_READS,
-                    "bases_per_batch": total_bases,
-                    "reads_per_s": round(N_READS / (tpu_p50 / 1000.0), 1),
-                    "cpu_baseline_ms": round(cpu_ms, 1),
-                    "f64_ms": round(tpu_p50, 3),
-                    "f32_ms": round(f32_p50, 3),
-                },
-            }
-        )
-    )
+        for name in ("aligner", "sim_batch", "aeons_batch", "scale", "conformance"):
+            est = SECTION_EST[name][1 if cold else 0]
+            if remaining() - RESERVE < est:
+                emit({"metric": f"{name}_skipped", "value": None, "unit": None,
+                      "vs_baseline": None,
+                      "detail": {"reason": f"{remaining():.0f}s budget left < "
+                                           f"estimated {est}s"}})
+                continue
+            try:
+                child_env = dict(os.environ)
+                # the child's budget view = what is actually left here
+                child_env["BENCH_BUDGET_S"] = str(max(60.0, remaining() - RESERVE))
+                subprocess.run(
+                    [sys.executable, str(Path(__file__).resolve()),
+                     "--section", name],
+                    timeout=max(60.0, min(remaining() - RESERVE, est * 2.0)),
+                    env=child_env,
+                )
+            except subprocess.TimeoutExpired:
+                emit({"metric": f"{name}_timeout", "value": None, "unit": None,
+                      "vs_baseline": None,
+                      "detail": {"timeout_s": est * 2.0}})
+            except Exception as e:  # noqa: BLE001
+                emit({"metric": f"{name}_error", "value": None, "unit": None,
+                      "vs_baseline": None, "detail": {"error": repr(e)[:300]}})
+    # last line re-prints the headline: the driver records the final JSON
+    # line as the round's parsed metric
+    if headline is not None:
+        emit(headline)
 
 
 if __name__ == "__main__":

