@@ -305,11 +305,28 @@ class BossRunsSim:
 
     # ------------------------------------------------------------ batch ------
 
+    def _sample_parsed(self):
+        """One sampled batch + parsed PAF records (all strategy-independent
+        host work — safe to prefetch while the device runs the previous
+        step)."""
+        seqs, quals, bc_names, paf_f, paf_t = self.sampler.sample()
+        if self.aligner is None:
+            full_rec = parse_paf(paf_f)
+            trunc_rec = parse_paf(paf_t)
+        else:
+            full_rec = trunc_rec = None
+        return seqs, quals, bc_names, full_rec, trunc_rec
+
     def process_batch(self) -> None:
         import time as _time
 
         t = {"start": _time.perf_counter()}
-        seqs, quals, bc_names, paf_f, paf_t = self.sampler.sample()
+        pre = getattr(self, "_prefetched", None)
+        if pre is not None:
+            seqs, quals, bc_names, pre_full, pre_trunc = pre
+            self._prefetched = None
+        else:
+            seqs, quals, bc_names, pre_full, pre_trunc = self._sample_parsed()
         t["sample"] = _time.perf_counter()
         read_bc = {rid: self.barcodes_index.get(bc, 0) for rid, bc in bc_names.items()}
         if self.aligner is not None:
@@ -327,8 +344,7 @@ class BossRunsSim:
                 need_full += [rid for rid in seqs if rid not in decisions]
             full_rec = self.aligner.map_sequences({r: seqs[r] for r in need_full})
         else:
-            full_rec = parse_paf(paf_f)
-            trunc_rec = parse_paf(paf_t)
+            full_rec, trunc_rec = pre_full, pre_trunc
         t["align"] = _time.perf_counter()
         full, trunc, outc = self.make_decisions(seqs, full_rec, trunc_rec, read_bc)
         self._last_decisions = outc.reads_decision
@@ -382,18 +398,13 @@ class BossRunsSim:
         self._batch_floors = (batch.mr_g.shape[0], batch.ex_g.shape[0])
         t["coo"] = _time.perf_counter()
         params = self.engine.make_params(self.rl_dist.approx_ccl, self.rl_dist.time_cost)
+        # ASYNC dispatch: the jitted step queues on the device and returns;
+        # the host overlaps it with pseudotime bookkeeping, the read-cache
+        # fill and the NEXT batch's sample+parse (all strategy-independent).
+        # Only pull_aux below blocks on the device.
         self.state, aux = self.engine.step(self.state, batch, params)
-        # ONE device->host pull for all step scalars: each separate transfer
-        # costs a ~33 ms tunnel round trip, more than the step's compute
-        ah = self.engine.pull_aux(aux)
-        t["device"] = _time.perf_counter()
 
-        if ah.updated:
-            self.strat_host = self.engine.strat_dict(self.state)
-            write_strategy_npz(self.out_dir, self.strat_host)
-            logger.info(f"strategy updated, threshold {ah.threshold:.3g}")
-
-        # pseudotime + read dumps
+        # pseudotime + read dumps (host-only, overlapped with the step)
         decided_bases = sum(len(s) for s in outc.reads_decision.values())
         self.read_cache.update_times(
             total_bases=self.sampler.fq_stream.total_bases,
@@ -403,9 +414,33 @@ class BossRunsSim:
         self.read_cache.fill(
             seqs, outc.reads_decision, bc_names if len(self.barcodes_index) > 1 else None
         )
+        # prefetch the next batch while the device still runs this step
+        # (decisions for it are made AFTER this step's strategy lands, so
+        # semantics are identical to the serial order)
+        if self.aligner is None and self.sampler.fq_stream.offsets.shape[0] > 0:
+            self._prefetched = self._sample_parsed()
+        t["overlap"] = _time.perf_counter()
+
+        # start the strategy D2H while we wait on the aux scalars: the copy
+        # queues behind the step on the device stream, so by the time
+        # pull_aux returns the strat bytes are already in flight — the
+        # strat_dict below then costs no extra round trip
+        try:
+            self.state.strat.copy_to_host_async()
+        except AttributeError:
+            pass
+        # ONE device->host pull for all step scalars: each separate transfer
+        # costs a ~33 ms tunnel round trip, more than the step's compute
+        ah = self.engine.pull_aux(aux)
+        t["device"] = _time.perf_counter()
+
+        if ah.updated:
+            self.strat_host = self.engine.strat_dict(self.state)
+            write_strategy_npz(self.out_dir, self.strat_host)
+            logger.info(f"strategy updated, threshold {ah.threshold:.3g}")
         self.batch += 1
         t["write"] = _time.perf_counter()
-        keys = ["sample", "align", "decide", "coo", "device", "write"]
+        keys = ["sample", "align", "decide", "coo", "overlap", "device", "write"]
         phases = {
             k: round(t[k] - t[prev], 3)
             for k, prev in zip(keys, ["start"] + keys[:-1])
