@@ -86,8 +86,9 @@ def test_two_process_mask_contract(tmp_path):
         boss_end = time.time()
         mask_path = tmp_path / f"out_{NAME}" / "masks" / "boss.npz"
         assert mask_path.exists()
-        # give the decision plane > 2 reload cycles on the final mask
-        time.sleep(10 * THROTTLE)
+        # give the decision plane several full reload cycles on the final
+        # mask (generous: suite runs share the CPU with other workers)
+        time.sleep(25 * THROTTLE)
     finally:
         (tmp_path / "stop_readfish").write_text("stop")
         if boss is not None and boss.poll() is None:
@@ -112,18 +113,32 @@ def test_two_process_mask_contract(tmp_path):
     header = rows[0].split("\t")
     ih = {c: i for i, c in enumerate(header)}
     parsed = [r.split("\t") for r in rows[1:]]
-    early, late = [], []
+    # group rows by client iteration: the mask reload happens at ITERATION
+    # START (readfish_boss.run), so an iteration classifies by when it began
+    # — under machine load one iteration can span seconds, and per-row
+    # timestamps would misattribute its decisions to a newer mask
+    by_iter: dict[int, list] = {}
     for r in parsed:
         rid = r[ih["read_id"]]
         if not rid.startswith("p_"):
             continue
         _p, pos, fwd, _it = rid.split("_")
-        rec = (int(pos), int(fwd), r[ih["mode"]], r[ih["decision"]],
-               float(r[ih["timestamp"]]))
-        if rec[4] < boss_end:
-            early.append(rec)
-        elif rec[4] > boss_end + 3 * THROTTLE:
-            late.append(rec)
+        by_iter.setdefault(int(r[ih["client_iteration"]]), []).append(
+            (int(pos), int(fwd), r[ih["mode"]], r[ih["decision"]],
+             float(r[ih["timestamp"]]))
+        )
+    early, late = [], []
+    # the newest iteration that still has any row before boss_end may have
+    # begun (and reloaded) arbitrarily earlier; only iterations at least two
+    # PAST it are guaranteed to have reloaded after the final mask landed
+    pre_iters = [it for it, recs in by_iter.items()
+                 if any(rec[4] < boss_end for rec in recs)]
+    last_pre = max(pre_iters) if pre_iters else -1
+    for it, recs in sorted(by_iter.items()):
+        if max(rec[4] for rec in recs) < boss_end:
+            early.extend(recs)
+        elif it >= last_pre + 2:
+            late.extend(recs)
     assert early, "no decisions logged before the boss mask arrived"
     assert late, "no decisions logged after the boss mask arrived"
     # before any mask: the initial all-accept strategy -> everything kept
