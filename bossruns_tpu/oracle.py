@@ -50,10 +50,49 @@ def site_scores_fast(counts: np.ndarray, ref_base: np.ndarray, model: Observatio
     """Closed-form f64 scores (same math as ops/scores.py, NumPy).
 
     Used as the CPU baseline in bench.py: the strongest plausible optimized
-    CPU implementation (log-space matmul instead of the reference's lookup
-    table / this module's literal power products). Agrees with site_scores
-    to ~1e-13.
+    CPU implementation — log-space matmul over DEDUPLICATED
+    (count-pattern, ref-base) rows, i.e. the reference's lookup-table
+    insight applied at full strength. Agrees with site_scores to ~1e-13.
     """
+    packed = _pack_rows(counts, ref_base, model.len_b)
+    if packed is not None:
+        uniq_c, uniq_r, inv, n_uniq = packed
+        if n_uniq < counts.shape[0] // 2:
+            s_u, e_u = _site_scores_fast_dense(uniq_c, uniq_r, model)
+            return s_u[inv], e_u[inv]
+    return _site_scores_fast_dense(counts, ref_base, model)
+
+
+def _pack_rows(counts, ref_base, len_b: int):
+    """Deduplicate (count-pattern, ref-base) rows via ONE packed int64 key
+    (np.unique over a 1-D key sorts ~20x faster than the axis=0 void-row
+    form, which dominated the whole scoring pass at genome scale).
+
+    Returns (unique_counts f64, unique_ref, inverse, n_unique) or None when
+    counts are fractional (unkeyable)."""
+    c = np.minimum(counts[:, :len_b], COUNT_CLIP)
+    if not np.all(c == np.floor(c)):
+        return None
+    ci = c.astype(np.int64)
+    key = np.asarray(ref_base, np.int64).copy()
+    base = np.int64(COUNT_CLIP + 1)
+    mult = np.int64(8)  # ref_base < 8
+    for j in range(len_b):
+        key += ci[:, j] * mult
+        mult *= base
+    uniq, inv = np.unique(key, return_inverse=True)
+    # decode the unique keys back into count rows
+    ref_u = uniq % 8
+    rest = uniq // 8
+    cols = []
+    for _j in range(len_b):
+        cols.append(rest % base)
+        rest = rest // base
+    return (np.stack(cols, axis=1).astype(np.float64), ref_u, inv,
+            int(uniq.shape[0]))
+
+
+def _site_scores_fast_dense(counts: np.ndarray, ref_base: np.ndarray, model: ObservationModel):
     c = np.minimum(counts[:, : model.len_b], COUNT_CLIP).astype(np.float64)
     lphi = model.log_phi
     ll = c @ lphi + model.log_prior[ref_base]
@@ -80,18 +119,12 @@ def site_scores(counts: np.ndarray, ref_base: np.ndarray, model: ObservationMode
     arithmetic step is row-independent, so computing a unique row once gives
     the same float result as computing each occurrence. ~20x faster at
     realistic coverage (the dense pass cost ~110 s at 12.6 Mb)."""
-    c = np.minimum(counts[:, : model.len_b], COUNT_CLIP)
-    if not np.all(c == np.floor(c)):  # fractional counts: keyable only densely
-        return _site_scores_dense(counts, ref_base, model)
-    key = np.column_stack([
-        c.astype(np.int64), np.asarray(ref_base, np.int64),
-    ])
-    uniq, inv = np.unique(key, axis=0, return_inverse=True)
-    if uniq.shape[0] < key.shape[0] // 2:
-        s_u, e_u = _site_scores_dense(
-            uniq[:, :-1].astype(np.float64), uniq[:, -1], model
-        )
-        return s_u[inv], e_u[inv]
+    packed = _pack_rows(counts, ref_base, model.len_b)
+    if packed is not None:
+        uniq_c, uniq_r, inv, n_uniq = packed
+        if n_uniq < counts.shape[0] // 2:
+            s_u, e_u = _site_scores_dense(uniq_c, uniq_r, model)
+            return s_u[inv], e_u[inv]
     return _site_scores_dense(counts, ref_base, model)
 
 
