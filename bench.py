@@ -417,6 +417,7 @@ def section_conformance():
         "unit": "fraction",
         "vs_baseline": None,
         "detail": {"per_batch": [round(a, 6) for a in out["per_batch"]],
+                   "exact_vs_drift_free_oracle": out["exact_vs_drift_free"],
                    "n_contigs": out["n_contigs"],
                    "n_sites": out["n_sites"],
                    "any_on": out["any_on"]},

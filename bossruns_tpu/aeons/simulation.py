@@ -78,28 +78,20 @@ class BossAeonsSim(BossAeons):
         if contigs.is_empty() or not self.strat:
             self.unmapped_count = len(read_sequences)
             return dict(read_sequences)
-        from ..aligner import TpuAligner
-        from ..aligner.cpu_baseline import CpuAligner
+        from ..aligner import make_aligner
         from ..models.layout import build_layout
 
         # rebuild the decision index only when the contig set changed:
         # pool sequences are immutable (trims/unitig merges mint new ids),
         # so (name, length) identifies the set. Batches where assembly
-        # didn't move skip the host index build + device upload entirely.
+        # didn't move skip the index rebuild entirely.
         key = tuple(sorted((n, len(s)) for n, s in contigs.seqdict().items()))
         if key != getattr(self, "_decide_key", None):
             layout = build_layout(contigs.seqdict(), min_len=500)
             # noisy-vs-noisy mapping needs denser seeds: the reference's
             # AEONS sim mapper uses k=13, w=5 (boss/mapper.py:47-48).
-            # Small contig pools map on HOST (record-identical to the device
-            # path, tests/test_host_seed.py): a 500-read mu-prefix batch
-            # against a few-Mb pool is latency-bound on kernel launches and
-            # tunnel round trips, not compute — the device aligner takes
-            # over when the assembly outgrows the threshold.
-            if int(layout.lengths.sum()) <= 64_000_000:
-                self._decide_aligner = CpuAligner(layout, k=13, w=5, min_votes=2)
-            else:
-                self._decide_aligner = TpuAligner(layout, k=13, w=5, min_votes=2)
+            # Host/device seeding chosen by measured fit (make_aligner).
+            self._decide_aligner = make_aligner(layout, k=13, w=5, min_votes=2)
             self._decide_key = key
         aligner = self._decide_aligner
         rec = aligner.map_sequences(read_sequences, trunc=True)

@@ -88,6 +88,34 @@ def encode(seq: str) -> np.ndarray:
     return _ENC[np.frombuffer(seq.encode(), dtype=np.uint8)]
 
 
+def make_aligner(layout: "GenomeLayout", backend: str = "auto",
+                 host_max_sites: int = 512_000_000, **kw):
+    """Production aligner factory: host or device seeding by measured fit.
+
+    backend: 'auto' | 'host' | 'device' (env BOSS_ALIGNER_BACKEND overrides).
+    Both backends emit byte-identical records (tests/test_host_seed.py) —
+    the choice is pure performance. Measured on this TPU (docs/DESIGN.md):
+    vectorised host seeding wins the mu=400 decision pass at BOTH 8 Mb and
+    134 Mb genomes on an idle host (the device's bitonic vote sorts are
+    element-throughput-bound), while the device path holds its throughput
+    when host cores are loaded — the regime of a live deployment running a
+    basecaller — and keeps the index off the host entirely. 'auto' picks
+    host up to host_max_sites and device beyond (index memory/bandwidth on
+    the host grows past the device's at that point).
+    """
+    import os
+
+    backend = os.environ.get("BOSS_ALIGNER_BACKEND", backend)
+    if backend == "device":
+        return TpuAligner(layout, **kw)
+    if backend == "host" or int(layout.lengths.sum()) <= host_max_sites:
+        from .cpu_baseline import CpuAligner
+
+        kw.setdefault("threads", 8)
+        return CpuAligner(layout, **kw)
+    return TpuAligner(layout, **kw)
+
+
 def _overlap_frac(a: tuple[int, int], b: tuple[int, int]) -> float:
     """Overlap of two query intervals as a fraction of the shorter one."""
     inter = min(a[1], b[1]) - max(a[0], b[0])

@@ -80,7 +80,7 @@ class TpuMapperPlugin:
         The dummy init index (BossBits.gen_dummy_idx, one 25-base contig)
         yields an aligner with an empty minimizer index: every read maps to
         nothing -> no_map -> proceed, matching readfish's warm-up phase."""
-        from ..aligner import TpuAligner
+        from ..aligner import make_aligner
         from ..models.layout import build_layout
         from ..models.runs_sim import load_reference_contigs
 
@@ -90,7 +90,7 @@ class TpuMapperPlugin:
             min_len = 1  # dummy/bootstrap index: keep the tiny contig
         layout = build_layout(contigs, min_len=min_len)
         if self.aligner is None:
-            self.aligner = TpuAligner(layout, source=fasta)
+            self.aligner = make_aligner(layout, source=fasta)
         else:
             self.aligner.load_index(fasta)
         self._fasta = fasta

@@ -187,12 +187,13 @@ class BossRunsSim:
         # (BASELINE config 2: exercises the seed-and-extend kernel)
         self.aligner = None
         if not (paf_full and paf_trunc):
-            from ..aligner import TpuAligner
+            from ..aligner import make_aligner
 
             # noisy 400 bp prefixes drive the decisions: the dense k13/w5
             # profile (the reference's own sim-mapper non-defaults,
-            # boss/mapper.py:47-48) keeps short/noisy reads mappable
-            self.aligner = TpuAligner(self.layout, k=13, w=5, min_votes=3, source=ref)
+            # boss/mapper.py:47-48) keeps short/noisy reads mappable.
+            # Host/device seeding chosen by measured fit (make_aligner).
+            self.aligner = make_aligner(self.layout, k=13, w=5, min_votes=3, source=ref)
         self.read_cache = ReadCache(batchsize, dumptime, out_base=out_base)
         from .experiment import AbundanceTracker
 

@@ -77,6 +77,13 @@ def main(n_reads: int = 2000, trials: int = 3):
                 "mapped_frac": round(mapped / n_reads, 4),
                 "right_contig": correct,
                 "records": len(rec.qname),
+                # this line measures the DEVICE seeding path; production
+                # call sites dispatch via aligner.make_aligner, which picks
+                # the host path at this scale (byte-identical records; see
+                # docs/DESIGN.md "aligner backend" for the measured
+                # host-vs-device analysis incl. 134 Mb and loaded-host
+                # regimes)
+                "production_backend": "host (make_aligner auto)",
             },
         }), flush=True)
 
