@@ -179,7 +179,11 @@ class BossRuns:
         )
         self._batch_floors = (batch.mr_g.shape[0], batch.ex_g.shape[0])
         params = self.engine.make_params(self.rl_dist.approx_ccl, self.rl_dist.time_cost)
-        self.state, aux = self.engine.step(self.state, batch, params)
+        # single-transfer wire upload (see runs_sim.process_batch)
+        if getattr(self.engine, "wire_capable", False):
+            self.state, aux = self.engine.step_from_numpy(self.state, batch, params)
+        else:
+            self.state, aux = self.engine.step(self.state, batch, params)
         ah = self.engine.pull_aux(aux)  # single D2H pull of all step scalars
         self.tracker.update(len(seqs), rec, best)
         if ah.updated:

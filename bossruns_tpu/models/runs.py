@@ -204,6 +204,9 @@ class RunsConfig:
 class RunsEngine:
     """Builds device constants for a layout and exposes the jitted step."""
 
+    #: step_from_numpy (single-transfer wire upload) is valid on this engine
+    wire_capable = True
+
     def __init__(
         self,
         layout: GenomeLayout,
@@ -294,6 +297,79 @@ class RunsEngine:
         self.step = lambda state, batch, params: self._jit_step(
             state, batch, params, self._consts
         )
+        self._jit_step_wire = jax.jit(
+            self._step_wire, donate_argnums=(0,), static_argnums=(4,)
+        )
+
+    # ------------------------------------------------------- wire format ----
+    #
+    # Ship a ReadBatch as ONE uint32 buffer (pure memcpy host-side, ~2 ms;
+    # fused bitcasts device-side) instead of 8 separate host arrays. On the
+    # tunneled shared chip, per-call overhead is dominated by pool
+    # contention ("weather"): numpy-arg steps measured 270-470 ms vs
+    # 122-127 ms with device-resident args at identical shapes, and the
+    # single-transfer wire bounds the per-batch transfer count at its
+    # theoretical minimum so the worst case scales with ONE round trip, not
+    # eight. Bit-exact round trip pinned by
+    # tests/test_wide_format.py::test_wire_roundtrip.
+
+    _WIRE_FIELDS = (
+        ("mr_bc", np.uint8), ("mr_g", np.uint32), ("mr_len", np.uint16),
+        ("ex_bcsym", np.uint16), ("ex_g", np.uint32), ("rs_row", np.int32),
+        ("rs_strand", np.int32), ("rs_w", np.float32),
+    )
+
+    @classmethod
+    def pack_wire(cls, batch: dict | ReadBatch):
+        """dict/ReadBatch of numpy arrays -> (wire uint32[W], spec).
+
+        spec = tuple of (name, n_elems) per field, static per shape — it
+        keys the jit cache exactly like the per-field shapes did."""
+        get = batch.__getitem__ if isinstance(batch, dict) else lambda f: getattr(batch, f)
+        parts = []
+        spec = []
+        for name, dt in cls._WIRE_FIELDS:
+            a = np.ascontiguousarray(get(name), dtype=dt)
+            spec.append((name, int(a.shape[0])))
+            nb = a.nbytes
+            pad = (-nb) % 4
+            if pad:
+                buf = np.zeros(nb + pad, np.uint8)
+                buf[:nb] = a.view(np.uint8)
+                parts.append(buf.view(np.uint32))
+            else:
+                parts.append(a.view(np.uint32))
+        return np.concatenate(parts), tuple(spec)
+
+    @staticmethod
+    def unpack_wire(wire, spec) -> ReadBatch:
+        """Device-side inverse of pack_wire (inside jit; fused bitcasts)."""
+        dts = dict(RunsEngine._WIRE_FIELDS)
+        out = {}
+        off = 0
+        for name, n in spec:
+            dt = np.dtype(dts[name])
+            nwords = (n * dt.itemsize + 3) // 4
+            words = wire[off: off + nwords]
+            off += nwords
+            if dt.itemsize == 4:
+                arr = jax.lax.bitcast_convert_type(words, jnp.dtype(dt))
+            else:
+                arr = jax.lax.bitcast_convert_type(
+                    words, jnp.dtype(dt)
+                ).reshape(-1)[:n]
+            out[name] = arr[:n]
+        return ReadBatch(**out)
+
+    def _step_wire(self, state: GenomeState, wire, params: StepParams,
+                   C: EngineConsts, spec):
+        return self._step(state, self.unpack_wire(wire, spec), params, C)
+
+    def step_from_numpy(self, state: GenomeState, batch_np: dict,
+                        params: StepParams):
+        """One step from a HOST batch dict: single-transfer wire upload."""
+        wire, spec = self.pack_wire(batch_np)
+        return self._jit_step_wire(state, wire, params, self._consts, spec)
 
     def _score_block(self, n_local: int) -> int:
         """Chunk-aligned divisor of the local site axis closest to (and at

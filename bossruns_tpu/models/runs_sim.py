@@ -324,7 +324,7 @@ class BossRunsSim:
         t = {"start": _time.perf_counter()}
         pre = getattr(self, "_prefetched", None)
         if pre is not None:
-            seqs, quals, bc_names, pre_full, pre_trunc = pre
+            seqs, quals, bc_names, pre_full, pre_trunc = pre.result()
             self._prefetched = None
         else:
             seqs, quals, bc_names, pre_full, pre_trunc = self._sample_parsed()
@@ -402,8 +402,15 @@ class BossRunsSim:
         # ASYNC dispatch: the jitted step queues on the device and returns;
         # the host overlaps it with pseudotime bookkeeping, the read-cache
         # fill and the NEXT batch's sample+parse (all strategy-independent).
-        # Only pull_aux below blocks on the device.
-        self.state, aux = self.engine.step(self.state, batch, params)
+        # Only pull_aux below blocks on the device. The batch ships as ONE
+        # uint32 wire buffer (RunsEngine.pack_wire), bounding the per-batch
+        # host->device transfer count at one (round-trip latency on the
+        # shared tunneled chip varies with pool contention; see the wire
+        # format note in models/runs.py).
+        if getattr(self.engine, "wire_capable", False):
+            self.state, aux = self.engine.step_from_numpy(self.state, batch, params)
+        else:
+            self.state, aux = self.engine.step(self.state, batch, params)
 
         # pseudotime + read dumps (host-only, overlapped with the step)
         decided_bases = sum(len(s) for s in outc.reads_decision.values())
@@ -415,11 +422,17 @@ class BossRunsSim:
         self.read_cache.fill(
             seqs, outc.reads_decision, bc_names if len(self.barcodes_index) > 1 else None
         )
-        # prefetch the next batch while the device still runs this step
-        # (decisions for it are made AFTER this step's strategy lands, so
-        # semantics are identical to the serial order)
+        # prefetch the next batch on a worker thread while the device runs
+        # this step (decisions for it are made AFTER this step's strategy
+        # lands, so semantics are identical to the serial order; the worker
+        # holds mmap/C-parse work that releases the GIL, so it also rides
+        # under the pull wait and the next batch's decide/pack)
         if self.aligner is None and self.sampler.fq_stream.offsets.shape[0] > 0:
-            self._prefetched = self._sample_parsed()
+            if not hasattr(self, "_prefetch_pool"):
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._prefetch_pool = ThreadPoolExecutor(max_workers=1)
+            self._prefetched = self._prefetch_pool.submit(self._sample_parsed)
         t["overlap"] = _time.perf_counter()
 
         # start the strategy D2H while we wait on the aux scalars: the copy

@@ -111,6 +111,10 @@ def make_mesh(devices=None, barcode_shards: int = 1, name_g: str = "g", name_b: 
 class ShardedRunsEngine(RunsEngine):
     """RunsEngine whose step is an explicit shard_map SPMD program."""
 
+    #: the single-transfer wire upload (RunsEngine.step_from_numpy) targets
+    #: the single-chip step; sharded batches go through put_batch/step
+    wire_capable = False
+
     def __init__(
         self,
         layout: GenomeLayout,

@@ -159,3 +159,31 @@ def test_ex_pad_sentinel_is_dropped_not_wrapped():
     )
     state, _ = eng.step(state, batch, params)
     assert int(np.asarray(state.coverage).sum()) == 0
+
+
+def test_wire_roundtrip(rng):
+    """pack_wire -> device unpack_wire reproduces every ReadBatch field
+    bit-for-bit (the single-transfer upload must be a pure recoding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bossruns_tpu.models.runs import ReadBatch, RunsEngine
+
+    n = 1000
+    batch = dict(
+        mr_bc=rng.integers(0, 3, n).astype(np.uint8),
+        mr_g=rng.integers(0, 2**31, n).astype(np.uint32),
+        mr_len=rng.integers(0, 65535, n).astype(np.uint16),
+        ex_bcsym=rng.integers(0, 65535, n - 3).astype(np.uint16),
+        ex_g=rng.integers(0, 2**32 - 1, n - 3).astype(np.uint32),
+        rs_row=rng.integers(0, 2**30, 511).astype(np.int32),
+        rs_strand=rng.integers(0, 2, 511).astype(np.int32),
+        rs_w=rng.random(511).astype(np.float32),
+    )
+    wire, spec = RunsEngine.pack_wire(batch)
+    assert wire.dtype == np.uint32
+    out = jax.jit(
+        lambda w: RunsEngine.unpack_wire(w, spec)
+    )(jnp.asarray(wire))
+    for f in batch:
+        np.testing.assert_array_equal(np.asarray(getattr(out, f)), batch[f], err_msg=f)
