@@ -221,3 +221,38 @@ def test_hot_loop_with_tpu_mapper(repeat_world, tmp_path, monkeypatch):
     # per-chunk-batch decision latency: the SURVEY hot-loop (f) sub-second
     # budget — 2 iterations incl. alignment must stay well under it
     assert dt / 2 < 1.0, f"chunk-batch latency {dt/2:.2f}s"
+
+
+def test_mapq_gradient_with_copy_divergence():
+    """Intermediate mapq calibration (VERDICT r3 weak #6): mapq must grow
+    MONOTONICALLY with the divergence of a read's best competing repeat
+    copy, passing through genuinely intermediate values — not just the
+    coarse q20/q30/q40 extremes pinned above. Four loci share a 3 kb block
+    whose second copy is 0/5/10/20% mutated."""
+    rng = np.random.default_rng(23)
+    base = random_genome(rng, {"gA": 220_000})["gA"]
+    seg = list(base)
+    B = "ACGT"
+    loci = [30_000, 70_000, 110_000, 150_000]  # source loci
+    copies = [190_000, 196_000, 202_000, 208_000]
+    rates = [0.0, 0.05, 0.10, 0.20]
+    for src, dst, rate in zip(loci, copies, rates):
+        block = list(base[src: src + 3_000])
+        for i in range(len(block)):
+            if rng.random() < rate:
+                block[i] = B[rng.integers(0, 4)]
+        seg[dst: dst + 3_000] = block
+    genome = {"gA": "".join(seg)}
+    lay = build_layout(genome)
+    al = TpuAligner(lay)
+    reads = {f"d{int(r*100)}": _noisy(rng, genome["gA"][s: s + 3_000])
+             for s, r in zip(loci, rates)}
+    rec = al.map_sequences(reads)
+    best = best_per_query(rec)
+    qs = {r: int(rec.mapq[best[r]]) for r in reads if r in best}
+    assert len(qs) == 4, qs
+    ordered = [qs[f"d{int(r*100)}"] for r in rates]
+    assert all(a <= b for a, b in zip(ordered, ordered[1:])), ordered
+    assert ordered[0] <= 10, ordered          # exact copy: ambiguous
+    assert 10 < ordered[1] < 55, ordered      # 5%: genuinely intermediate
+    assert ordered[3] >= 40, ordered          # 20%: near-unique
