@@ -436,11 +436,11 @@ SECTIONS = {
 #: startup per subprocess. Cold = every kernel shape is a 2-8 min remote
 #: compile; sections that cannot fit the remaining budget are skipped.
 SECTION_EST = {
-    "aligner": (240, 1500),
+    "aligner": (330, 1500),
     "sim_batch": (210, 600),
     "aeons_batch": (300, 900),
     "scale": (210, 700),
-    "conformance": (240, 500),
+    "conformance": (330, 600),
 }
 #: seconds reserved at the end for the final headline re-print
 RESERVE = 20
