@@ -304,6 +304,86 @@ def split_runs(layout, sym, qual, rstart, rspan, rbc, qt: int = 0, len_b: int = 
     return mr_bc, mr_g, mr_len, ex_bcsym, ex_g
 
 
+def split_runs_rows(layout, sym, qual, rstart, rspan, rbc, rrow,
+                    qt: int = 0, len_b: int = 5):
+    """split_runs + the SOURCE READ INDEX of every output row.
+
+    rrow: int32 per input record — callers pass each record's read index so
+    the device can gate whole reads on/off with a per-read bit vector
+    (models/runs.py step_gated). Returns (mr_bc, mr_g, mr_len, mr_read u32,
+    ex_bcsym, ex_g, ex_read u32) UNPADDED. C fast path (v3) with a NumPy
+    fallback mirroring split_runs' semantics exactly.
+    """
+    G = layout.G_pad
+    ref = layout.seq_int.astype(np.int8)
+    m = sym.shape[0]
+    z32 = np.zeros(0, np.uint32)
+    if m == 0:
+        return (np.zeros(0, np.uint8), z32, np.zeros(0, np.uint16), z32,
+                np.zeros(0, np.uint16), z32, z32)
+    if rbc.size and int(rbc.max()) > 255:
+        raise ValueError("ReadBatch carries barcodes as uint8 (max 256 rows)")
+    lib = native_mod._load()
+    if lib is not None and hasattr(lib, "split_match_runs_wide_v3"):
+        if not hasattr(lib, "_split3_ready"):
+            lib.split_match_runs_wide_v3.restype = ctypes.c_int64
+            lib.split_match_runs_wide_v3.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64,
+            ]
+            lib._split3_ready = True
+        cap = m + 1
+        mr_bc = np.empty(cap, np.uint8)
+        mr_g = np.empty(cap, np.uint32)
+        mr_len = np.empty(cap, np.uint16)
+        mr_read = np.empty(cap, np.uint32)
+        ex_bcsym = np.empty(cap, np.uint16)
+        ex_g = np.empty(cap, np.uint32)
+        ex_read = np.empty(cap, np.uint32)
+        c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        sym8 = np.ascontiguousarray(sym, np.int8)
+        qual8 = np.ascontiguousarray(qual, np.int8)
+        packed = lib.split_match_runs_wide_v3(
+            c(sym8), c(qual8), m,
+            c(np.ascontiguousarray(rstart, np.int64)),
+            c(np.ascontiguousarray(rspan, np.int32)),
+            c(np.ascontiguousarray(rbc, np.int32)),
+            c(np.ascontiguousarray(rrow, np.int32)), np.int32(rstart.shape[0]),
+            c(ref), G, np.int32(qt), np.int32(len_b),
+            c(mr_bc), c(mr_g), c(mr_len), c(mr_read), cap,
+            c(ex_bcsym), c(ex_g), c(ex_read), cap,
+        )
+        assert packed >= 0
+        nr, ne = packed >> 32, packed & 0xFFFFFFFF
+        return (mr_bc[:nr].copy(), mr_g[:nr].copy(), mr_len[:nr].copy(),
+                mr_read[:nr].copy(), ex_bcsym[:ne].copy(), ex_g[:ne].copy(),
+                ex_read[:ne].copy())
+
+    # NumPy fallback: split each record alone and tag its outputs with its
+    # read row (slow but exact; the C path is the production route)
+    outs, mr_rows, ex_rows = [], [], []
+    prefix = np.concatenate([[0], np.cumsum(rspan)]).astype(np.int64)
+    for i in range(rstart.shape[0]):
+        lo, hi = int(prefix[i]), int(prefix[i + 1])
+        out = split_runs(layout, sym[lo:hi], qual[lo:hi], rstart[i: i + 1],
+                         rspan[i: i + 1], rbc[i: i + 1], qt, len_b)
+        outs.append(out)
+        mr_rows.append(np.full(out[0].shape[0], rrow[i], np.uint32))
+        ex_rows.append(np.full(out[3].shape[0], rrow[i], np.uint32))
+    if not outs:
+        return (np.zeros(0, np.uint8), z32, np.zeros(0, np.uint16), z32,
+                np.zeros(0, np.uint16), z32, z32)
+    cat = lambda k: np.concatenate([o[k] for o in outs])
+    return (cat(0), cat(1), cat(2), np.concatenate(mr_rows),
+            cat(3), cat(4), np.concatenate(ex_rows))
+
+
 EX_PAD = np.uint32(0xFFFFFFFF)
 """Sentinel ex_g value marking padding rows: it flattens to a negative /
 out-of-shard scatter index that the device drops, so no separate weight

@@ -300,6 +300,9 @@ class RunsEngine:
         self._jit_step_wire = jax.jit(
             self._step_wire, donate_argnums=(0,), static_argnums=(4,)
         )
+        self._jit_step_gated = jax.jit(
+            self._step_gated, donate_argnums=(0,), static_argnums=(5,)
+        )
 
     # ------------------------------------------------------- wire format ----
     #
@@ -319,16 +322,26 @@ class RunsEngine:
         ("rs_strand", np.int32), ("rs_w", np.float32),
     )
 
-    @classmethod
-    def pack_wire(cls, batch: dict | ReadBatch):
-        """dict/ReadBatch of numpy arrays -> (wire uint32[W], spec).
+    #: gated-batch wire: BOTH candidate coverage sets (f_* = full-length
+    #: records, t_* = mu-truncated records) + per-row source-read indices +
+    #: read-start rows for the full set. Shipped during PREFETCH (strategy-
+    #: independent); at decision time only a per-read bit vector crosses to
+    #: the device and selects full rows (accepted) vs trunc rows (rejected).
+    _GATED_FIELDS = (
+        ("f_mr_bc", np.uint8), ("f_mr_g", np.uint32), ("f_mr_len", np.uint16),
+        ("f_mr_read", np.uint32),
+        ("f_ex_bcsym", np.uint16), ("f_ex_g", np.uint32), ("f_ex_read", np.uint32),
+        ("t_mr_bc", np.uint8), ("t_mr_g", np.uint32), ("t_mr_len", np.uint16),
+        ("t_mr_read", np.uint32),
+        ("t_ex_bcsym", np.uint16), ("t_ex_g", np.uint32), ("t_ex_read", np.uint32),
+        ("rs_row", np.int32), ("rs_strand", np.int32), ("rs_read", np.int32),
+    )
 
-        spec = tuple of (name, n_elems) per field, static per shape — it
-        keys the jit cache exactly like the per-field shapes did."""
-        get = batch.__getitem__ if isinstance(batch, dict) else lambda f: getattr(batch, f)
+    @classmethod
+    def _pack_fields(cls, get, fields):
         parts = []
         spec = []
-        for name, dt in cls._WIRE_FIELDS:
+        for name, dt in fields:
             a = np.ascontiguousarray(get(name), dtype=dt)
             spec.append((name, int(a.shape[0])))
             nb = a.nbytes
@@ -341,10 +354,23 @@ class RunsEngine:
                 parts.append(a.view(np.uint32))
         return np.concatenate(parts), tuple(spec)
 
+    @classmethod
+    def pack_wire(cls, batch: dict | ReadBatch):
+        """dict/ReadBatch of numpy arrays -> (wire uint32[W], spec).
+
+        spec = tuple of (name, n_elems) per field, static per shape — it
+        keys the jit cache exactly like the per-field shapes did."""
+        get = batch.__getitem__ if isinstance(batch, dict) else lambda f: getattr(batch, f)
+        return cls._pack_fields(get, cls._WIRE_FIELDS)
+
+    @classmethod
+    def pack_gated(cls, d: dict):
+        """dict of the _GATED_FIELDS arrays -> (wire uint32[W], spec)."""
+        return cls._pack_fields(d.__getitem__, cls._GATED_FIELDS)
+
     @staticmethod
-    def unpack_wire(wire, spec) -> ReadBatch:
-        """Device-side inverse of pack_wire (inside jit; fused bitcasts)."""
-        dts = dict(RunsEngine._WIRE_FIELDS)
+    def _unpack_fields(wire, spec, fields):
+        dts = dict(fields)
         out = {}
         off = 0
         for name, n in spec:
@@ -359,7 +385,14 @@ class RunsEngine:
                     words, jnp.dtype(dt)
                 ).reshape(-1)[:n]
             out[name] = arr[:n]
-        return ReadBatch(**out)
+        return out
+
+    @staticmethod
+    def unpack_wire(wire, spec) -> ReadBatch:
+        """Device-side inverse of pack_wire (inside jit; fused bitcasts)."""
+        return ReadBatch(**RunsEngine._unpack_fields(
+            wire, spec, RunsEngine._WIRE_FIELDS
+        ))
 
     def _step_wire(self, state: GenomeState, wire, params: StepParams,
                    C: EngineConsts, spec):
@@ -370,6 +403,70 @@ class RunsEngine:
         """One step from a HOST batch dict: single-transfer wire upload."""
         wire, spec = self.pack_wire(batch_np)
         return self._jit_step_wire(state, wire, params, self._consts, spec)
+
+    # ------------------------------------------------------- gated step ----
+
+    def _step_gated(self, state: GenomeState, wire, bits, params: StepParams,
+                    C: EngineConsts, spec):
+        """Select full-set rows where bits[read]=1 and trunc-set rows where
+        bits[read]=0, then run the ordinary step. Gating uses the existing
+        padding semantics (mr_len 0 / ex_g EX_PAD rows are dropped), so the
+        result is bit-identical to packing only the selected rows host-side
+        (pinned by tests/test_gated_sim.py)."""
+        from ..io.coo_native import EX_PAD
+
+        f = self._unpack_fields(wire, spec, self._GATED_FIELDS)
+        on = bits > 0  # [n_reads_pad] uint8 -> bool
+        pad = jnp.uint32(EX_PAD)
+
+        def gate_mr(lens, reads, want_on):
+            g = on[reads.astype(jnp.int32)]
+            g = g if want_on else ~g
+            return jnp.where(g, lens, 0).astype(jnp.uint16)
+
+        def gate_ex(exg, bcsym, reads, want_on):
+            # drop = (bcsym 0, ex_g EX_PAD): a NONZERO bcsym would wrap the
+            # unsigned flat index bcsym*G + 0xFFFFFFFF back IN bounds
+            g = on[reads.astype(jnp.int32)]
+            g = g if want_on else ~g
+            return jnp.where(g, exg, pad), jnp.where(g, bcsym, 0)
+
+        f_ex_g, f_ex_bcsym = gate_ex(
+            f["f_ex_g"], f["f_ex_bcsym"], f["f_ex_read"], True
+        )
+        t_ex_g, t_ex_bcsym = gate_ex(
+            f["t_ex_g"], f["t_ex_bcsym"], f["t_ex_read"], False
+        )
+        batch = ReadBatch(
+            mr_bc=jnp.concatenate([f["f_mr_bc"], f["t_mr_bc"]]),
+            mr_g=jnp.concatenate([f["f_mr_g"], f["t_mr_g"]]),
+            mr_len=jnp.concatenate([
+                gate_mr(f["f_mr_len"], f["f_mr_read"], True),
+                gate_mr(f["t_mr_len"], f["t_mr_read"], False),
+            ]),
+            ex_bcsym=jnp.concatenate([f_ex_bcsym, t_ex_bcsym]),
+            ex_g=jnp.concatenate([f_ex_g, t_ex_g]),
+            rs_row=f["rs_row"],
+            rs_strand=f["rs_strand"],
+            # rs rows belong to full-set records: active iff accepted;
+            # padding rows carry rs_read -1
+            rs_w=jnp.where(
+                (f["rs_read"] >= 0) & on[jnp.maximum(f["rs_read"], 0)],
+                1.0, 0.0,
+            ).astype(jnp.float32),
+        )
+        return self._step(state, batch, params, C)
+
+    def step_gated(self, state: GenomeState, wire_dev, bits_np: np.ndarray,
+                   params: StepParams, spec):
+        """One step from a PRE-UPLOADED gated wire + host decision bits.
+
+        The wire (both coverage sets) ships during prefetch, overlapped with
+        the previous step; only the ~n_reads decision bits cross the link on
+        the critical path."""
+        return self._jit_step_gated(
+            state, wire_dev, bits_np, params, self._consts, spec
+        )
 
     def _score_block(self, n_local: int) -> int:
         """Chunk-aligned divisor of the local site axis closest to (and at

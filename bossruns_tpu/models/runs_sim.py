@@ -132,6 +132,7 @@ class BossRunsSim:
         resume: bool = False,
         mesh_shards: tuple[int, int] = (1, 1),
         reference_quirks: bool = False,
+        gated: bool | None = None,
     ):
         """mesh_shards: (barcode_shards, genome_shards) — > (1, 1) runs the
         update step sharded over a device mesh (config [tpu] section).
@@ -218,6 +219,11 @@ class BossRunsSim:
         self.strat_host = self.engine.strat_dict(self.state)
         write_strategy_npz(self.out_dir, self.strat_host)
         self._phase_log: list[dict] = []
+        # gated batch flow (PAF-driven, single-chip): both coverage sets
+        # upload during prefetch; only decision bits ride the critical path
+        if gated is None:
+            gated = bool(getattr(self.engine, "wire_capable", False)) and self.aligner is None
+        self._gated = gated
 
     def phase_p50_ms(self, last: int = 5) -> dict[str, float]:
         """Median per-phase wall time (ms) over the last N batches — the
@@ -304,6 +310,227 @@ class BossRunsSim:
         out.n_unmapped = len(seqs) - len(mapped)
         return full, trunc, out
 
+    # ------------------------------------------------------ gated batch ------
+
+    def _prefetch_gated(self) -> dict:
+        """Sample + parse + build + UPLOAD both candidate coverage sets.
+
+        Everything here is strategy-independent, so it runs on the prefetch
+        worker under the previous device step. The returned dict carries the
+        device-resident wire; at decision time only ~batchsize bits cross
+        the link (models/runs.py step_gated)."""
+        import jax
+
+        from ..io.coo_native import EX_PAD, build_packed_runs, split_runs_rows
+
+        seqs, quals, bc_names, paf_f, paf_t = self.sampler.sample()
+        full = parse_paf(paf_f)
+        trunc = parse_paf(paf_t)
+        rid_list = list(seqs)
+        rid_idx = {r: i for i, r in enumerate(rid_list)}
+        read_bc = {rid: self.barcodes_index.get(bc, 0) for rid, bc in bc_names.items()}
+        best_full = best_per_query(full)
+        best_trunc = best_per_query(trunc)
+        known = set(self.layout.names)
+        len_b = self.engine.model.len_b
+
+        def one_set(rec, rows, sset, qset):
+            packed = build_packed_runs(self.layout, [(rec, rows, sset, qset)], read_bc)
+            kept = [i for i in rows if rec.tname[i] in known]
+            rrow = np.array([rid_idx[rec.qname[i]] for i in kept], np.int32)
+            return split_runs_rows(
+                self.layout, packed[0], packed[1], packed[2], packed[3],
+                packed[4], rrow, 0, len_b,
+            )
+
+        f_rows = list(best_full.values())
+        f_split = one_set(full, f_rows, seqs, quals)
+        t_rows = list(best_trunc.values())
+        t_seqs = {r: s[: self.mu] for r, s in seqs.items()}
+        t_quals = {r: quals[r][: len(t_seqs[r])] for r in seqs}
+        if self.reference_quirks:
+            # Q2: a REV trunc record's coverage expands from the read's LAST
+            # mu bases (see __init__ docstring); only activates when the
+            # read is rejected — exactly when these rows gate ON
+            for i in t_rows:
+                if trunc.rev[i]:
+                    rid = trunc.qname[i]
+                    t_seqs[rid] = seqs[rid][-self.mu:]
+                    t_quals[rid] = quals[rid][-self.mu:]
+        t_split = one_set(trunc, t_rows, t_seqs, t_quals)
+
+        # read-start rows for every best full record (mirrors
+        # io/coo.build_read_start_rows incl. right-edge inclusion); active
+        # on device iff the read's bit is set
+        from .layout import FHAT_WINDOW
+
+        tid_of = {n: i for i, n in enumerate(self.layout.names)}
+        rs_row, rs_strand, rs_read = [], [], []
+        for rid, i in best_full.items():
+            tid = tid_of.get(full.tname[i])
+            if tid is None:
+                continue
+            wf = int(self.layout.lengths[tid]) // FHAT_WINDOW
+            if wf == 0:
+                continue
+            start = int(full.tend[i]) if full.rev[i] else int(full.tstart[i])
+            if start > FHAT_WINDOW * wf:
+                continue
+            rs_row.append(int(self.layout.fhat_offsets[tid]) + min(start // FHAT_WINDOW, wf - 1))
+            rs_strand.append(int(full.rev[i]))
+            rs_read.append(rid_idx[rid])
+
+        floors = getattr(self, "_gated_floors", {})
+
+        from ..io.coo import _pad_len
+
+        def pad_arr(a, name, fill=0):
+            m = max(_pad_len(a.shape[0]), floors.get(name, 0), 4)
+            floors[name] = m
+            out = np.full(m, fill, a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        d = {
+            "f_mr_bc": pad_arr(f_split[0], "f_mr"),
+            "f_mr_g": pad_arr(f_split[1], "f_mr"),
+            "f_mr_len": pad_arr(f_split[2], "f_mr"),
+            "f_mr_read": pad_arr(f_split[3], "f_mr"),
+            "f_ex_bcsym": pad_arr(f_split[4], "f_ex"),
+            "f_ex_g": pad_arr(f_split[5], "f_ex", fill=EX_PAD),
+            "f_ex_read": pad_arr(f_split[6], "f_ex"),
+            "t_mr_bc": pad_arr(t_split[0], "t_mr"),
+            "t_mr_g": pad_arr(t_split[1], "t_mr"),
+            "t_mr_len": pad_arr(t_split[2], "t_mr"),
+            "t_mr_read": pad_arr(t_split[3], "t_mr"),
+            "t_ex_bcsym": pad_arr(t_split[4], "t_ex"),
+            "t_ex_g": pad_arr(t_split[5], "t_ex", fill=EX_PAD),
+            "t_ex_read": pad_arr(t_split[6], "t_ex"),
+            "rs_row": pad_arr(np.array(rs_row, np.int32), "rs"),
+            "rs_strand": pad_arr(np.array(rs_strand, np.int32), "rs"),
+            "rs_read": pad_arr(np.array(rs_read, np.int32), "rs", fill=-1),
+        }
+        self._gated_floors = floors
+        wire, spec = self.engine.pack_gated(d)
+        wire_dev = jax.device_put(wire)  # async: overlaps the running step
+        return dict(
+            seqs=seqs, quals=quals, bc_names=bc_names, full=full, trunc=trunc,
+            best_full=best_full, best_trunc=best_trunc, rid_list=rid_list,
+            rid_idx=rid_idx, read_bc=read_bc, wire_dev=wire_dev, spec=spec,
+        )
+
+    def _process_batch_gated(self) -> None:
+        import time as _time
+
+        t = {"start": _time.perf_counter()}
+        pre = getattr(self, "_prefetched", None)
+        if pre is not None:
+            pre = pre.result()
+            self._prefetched = None
+        else:
+            pre = self._prefetch_gated()
+        t["sample"] = _time.perf_counter()
+        t["align"] = t["sample"]
+        seqs = pre["seqs"]
+        decisions = self._trunc_decisions(pre["trunc"], pre["read_bc"])
+        bits = np.zeros(self.batchsize, np.uint8)
+        best_full = pre["best_full"]
+        rid_idx = pre["rid_idx"]
+        reads_decision = dict(seqs)
+        accepted_lengths = []
+        n_accepted = n_rejected = 0
+        acc_rows = []
+        for rid, acc in decisions.items():
+            if acc:
+                bits[rid_idx[rid]] = 1
+                n_accepted += 1
+                if rid in best_full:
+                    j = best_full[rid]
+                    acc_rows.append(j)
+                    accepted_lengths.append(int(pre["full"].qlen[j]))
+            else:
+                reads_decision[rid] = seqs[rid][: self.mu]
+                n_rejected += 1
+        for rid in seqs:
+            if rid in decisions:
+                continue
+            if self.accept_unmapped:
+                bits[rid_idx[rid]] = 1
+                n_accepted += 1
+                if rid in best_full:
+                    j = best_full[rid]
+                    acc_rows.append(j)
+                    accepted_lengths.append(int(pre["full"].qlen[j]))
+            else:
+                reads_decision[rid] = seqs[rid][: self.mu]
+                n_rejected += 1
+        self._last_decisions = reads_decision
+        t["decide"] = _time.perf_counter()
+        n_mapped = len(decisions)
+        logger.info(f"mapped {n_mapped}, unmapped {len(seqs) - n_mapped}")
+        logger.info(f"accepted {n_accepted}, rejected {n_rejected}")
+        self.rl_dist.update(np.array(accepted_lengths, dtype=np.int64))
+        self.tracker.update(
+            n_accepted, pre["full"], {pre["full"].qname[i]: i for i in acc_rows}
+        )
+        t["coo"] = _time.perf_counter()
+        params = self.engine.make_params(self.rl_dist.approx_ccl, self.rl_dist.time_cost)
+        self.state, aux = self.engine.step_gated(
+            self.state, pre["wire_dev"], bits, params, pre["spec"]
+        )
+        decided_bases = sum(len(s) for s in reads_decision.values())
+        self.read_cache.update_times(
+            total_bases=self.sampler.fq_stream.total_bases,
+            decided_bases=decided_bases,
+            n_reject=n_rejected,
+        )
+        self.read_cache.fill(
+            seqs, reads_decision,
+            pre["bc_names"] if len(self.barcodes_index) > 1 else None,
+        )
+        if self.sampler.fq_stream.offsets.shape[0] > 0:
+            if not hasattr(self, "_prefetch_pool"):
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._prefetch_pool = ThreadPoolExecutor(max_workers=1)
+            self._prefetched = self._prefetch_pool.submit(self._prefetch_gated)
+        t["overlap"] = _time.perf_counter()
+        try:
+            self.state.strat.copy_to_host_async()
+        except AttributeError:
+            pass
+        ah = self.engine.pull_aux(aux)
+        t["device"] = _time.perf_counter()
+        if ah.updated:
+            self.strat_host = self.engine.strat_dict(self.state)
+            write_strategy_npz(self.out_dir, self.strat_host)
+            logger.info(f"strategy updated, threshold {ah.threshold:.3g}")
+        self.batch += 1
+        t["write"] = _time.perf_counter()
+        keys = ["sample", "align", "decide", "coo", "overlap", "device", "write"]
+        phases = {
+            k: round(t[k] - t[prev], 3)
+            for k, prev in zip(keys, ["start"] + keys[:-1])
+        }
+        self._phase_log.append(phases)
+        self.metrics.write(
+            batch=self.batch, phases=phases, n_mapped=n_mapped,
+            n_accepted=n_accepted, n_rejected=n_rejected,
+            updated=ah.updated, threshold=ah.threshold,
+            mean_coverage=ah.mean_coverage,
+            time_boss=self.read_cache.time_boss,
+            time_control=self.read_cache.time_control,
+            lam=self.rl_dist.lam,
+        )
+        if self.checkpoint_every and self.batch % self.checkpoint_every == 0:
+            save_checkpoint(
+                self.out_dir, self.state,
+                dict(batch=self.batch,
+                     time_boss=self.read_cache.time_boss,
+                     time_control=self.read_cache.time_control),
+                extra_arrays={"rl_hist": self.rl_dist.hist},
+            )
+
     # ------------------------------------------------------------ batch ------
 
     def _sample_parsed(self):
@@ -319,6 +546,11 @@ class BossRunsSim:
         return seqs, quals, bc_names, full_rec, trunc_rec
 
     def process_batch(self) -> None:
+        if self._gated:
+            return self._process_batch_gated()
+        return self._process_batch_classic()
+
+    def _process_batch_classic(self) -> None:
         import time as _time
 
         t = {"start": _time.perf_counter()}

@@ -819,4 +819,79 @@ int64_t split_match_runs_wide_v2(const int8_t* sym, const int8_t* qual,
     return (nr << 32) | ne;
 }
 
+// _v3: like _v2 but additionally emits the SOURCE ROW of every output run /
+// explicit entry (rrow[r] for record r — callers pass per-record read
+// indices so device-side gating can switch whole reads on/off with a
+// per-read bit vector; models/runs.py step_gated). Kept as a separate
+// symbol so a stale .so degrades to the NumPy fallback, never corrupts.
+int64_t split_match_runs_wide_v3(const int8_t* sym, const int8_t* qual,
+                                 int64_t m,
+                                 const int64_t* rstart, const int32_t* rspan,
+                                 const int32_t* rbc, const int32_t* rrow,
+                                 int32_t n_reads,
+                                 const int8_t* ref, int64_t G,
+                                 int32_t qt, int32_t len_b,
+                                 uint8_t* mr_bc, uint32_t* mr_g,
+                                 uint16_t* mr_len, uint32_t* mr_read,
+                                 int64_t mr_cap,
+                                 uint16_t* ex_bcsym, uint32_t* ex_g,
+                                 uint32_t* ex_read, int64_t ex_cap) {
+    int64_t nr = 0, ne = 0;
+    int64_t base = 0;
+    (void)m;
+    for (int32_t r = 0; r < n_reads; ++r) {
+        int64_t g0 = rstart[r];
+        int64_t span = rspan[r];
+        uint8_t bc = (uint8_t)rbc[r];
+        uint32_t row = (uint32_t)rrow[r];
+        int64_t run_start = -1;
+        for (int64_t i = 0; i < span; ++i) {
+            int64_t g = g0 + i;
+            int8_t s = sym[base + i];
+            bool valid = qual[base + i] >= qt && g < G &&
+                         !(len_b == 4 && s == 4);
+            bool match = valid && s == ref[g];
+            if (match) {
+                if (run_start < 0) run_start = g;
+                else if (g - run_start == 65535) {  // uint16 len cap: chunk
+                    if (nr >= mr_cap) return -1;
+                    mr_bc[nr] = bc;
+                    mr_g[nr] = (uint32_t)run_start;
+                    mr_len[nr] = 65535;
+                    mr_read[nr] = row;
+                    ++nr;
+                    run_start = g;
+                }
+            } else {
+                if (run_start >= 0) {
+                    if (nr >= mr_cap) return -1;
+                    mr_bc[nr] = bc;
+                    mr_g[nr] = (uint32_t)run_start;
+                    mr_len[nr] = (uint16_t)(g - run_start);
+                    mr_read[nr] = row;
+                    ++nr;
+                    run_start = -1;
+                }
+                if (valid) {
+                    if (ne >= ex_cap) return -1;
+                    ex_bcsym[ne] = (uint16_t)(rbc[r] * 5 + s);
+                    ex_g[ne] = (uint32_t)g;
+                    ex_read[ne] = row;
+                    ++ne;
+                }
+            }
+        }
+        if (run_start >= 0) {
+            if (nr >= mr_cap) return -1;
+            mr_bc[nr] = bc;
+            mr_g[nr] = (uint32_t)run_start;
+            mr_len[nr] = (uint16_t)(g0 + span - run_start);
+            mr_read[nr] = row;
+            ++nr;
+        }
+        base += span;
+    }
+    return (nr << 32) | ne;
+}
+
 }  // extern "C"
