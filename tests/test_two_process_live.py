@@ -86,9 +86,33 @@ def test_two_process_mask_contract(tmp_path):
         boss_end = time.time()
         mask_path = tmp_path / f"out_{NAME}" / "masks" / "boss.npz"
         assert mask_path.exists()
-        # give the decision plane several full reload cycles on the final
-        # mask (generous: suite runs share the CPU with other workers)
-        time.sleep(25 * THROTTLE)
+
+        # wait until the decision plane has run >= 3 WHOLE iterations past
+        # the last one that began before the mask landed (adaptive: a fixed
+        # sleep flakes when the suite shares the CPU with other workers)
+        def _iters():
+            try:
+                lines = (tmp_path / "decisions.tsv").read_text().splitlines()[1:]
+            except FileNotFoundError:
+                return 0, 0
+            pre, cur = 0, 0
+            for r in lines:
+                c = r.split("\t")
+                try:
+                    it, ts = int(c[0]), float(c[12])
+                except (ValueError, IndexError):
+                    continue
+                cur = max(cur, it)
+                if ts < boss_end:
+                    pre = max(pre, it)
+            return pre, cur
+
+        t0 = time.monotonic()
+        while time.monotonic() - t0 < 120:
+            pre_it, cur_it = _iters()
+            if cur_it >= pre_it + 3:
+                break
+            time.sleep(THROTTLE)
     finally:
         (tmp_path / "stop_readfish").write_text("stop")
         if boss is not None and boss.poll() is None:
