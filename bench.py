@@ -243,23 +243,30 @@ def section_sim():
     sim = BossRunsSim(
         ref=paths["ref"], fq=paths["fq"], paf_full=paths["paf_full"],
         paf_trunc=paths["paf_trunc"], name="bench", batchsize=N_READS,
-        maxb=8, out_base=out,
+        maxb=9, out_base=out,
     )
-    sim.process_batch()  # compile + warm
+    # two warm batches: the gated flow's wire spec grows once as the pad
+    # floors stabilize, so batch 2 loads a second executable
+    sim.process_batch()
+    sim.process_batch()
     times = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         sim.process_batch()
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times))
+    floor = float(np.min(times))
     emit({
         "metric": "sim_batch_p50_latency",
         "value": round(p50 * 1000.0, 1),
         "unit": "ms",
         "vs_baseline": None,
+        # the floor (best batch) approximates the architecture's cost with
+        # the shared chip pool momentarily quiet; p50 folds in pool weather
         "detail": {"reads_per_batch": N_READS,
                    "reads_per_s": round(N_READS / p50, 1),
-                   "phase_p50_ms": sim.phase_p50_ms()},
+                   "floor_ms": round(floor * 1000.0, 1),
+                   "phase_p50_ms": sim.phase_p50_ms(last=7)},
     })
 
 

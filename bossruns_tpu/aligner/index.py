@@ -58,7 +58,31 @@ def kmer_codes(codes: np.ndarray, k: int = K):
 
 
 def minimizer_mask(h: np.ndarray, w: int = W) -> np.ndarray:
-    """True where position i is the minimum of some w-window (all ties)."""
+    """True where position i is the minimum of some w-window (all ties).
+
+    Native monotonic-deque kernel when built (~3x over the scipy two-pass
+    form, which dominated per-batch AEONS index rebuilds); the scipy path
+    below is the executable spec (pinned equal in tests/test_native_host.py).
+    """
+    from . import native as native_mod
+
+    lib = native_mod._load()
+    if lib and hasattr(lib, "minimizer_mask_c") and h.shape[0]:
+        import ctypes
+
+        if not hasattr(lib, "_mmask_ready"):
+            lib.minimizer_mask_c.restype = None
+            lib.minimizer_mask_c.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+            ]
+            lib._mmask_ready = True
+        out = np.empty(h.shape[0], np.int8)
+        h32 = np.ascontiguousarray(h, np.int32)
+        lib.minimizer_mask_c(
+            h32.ctypes.data_as(ctypes.c_void_p), np.int64(h.shape[0]),
+            np.int32(w), out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out.astype(bool)
     # wmin[p] = min(h[p : p+w]); i is a minimizer iff h[i] equals the min of
     # a window containing i <=> h[i] == min(wmin[i-w+1 : i+1])
     wmin = minimum_filter1d(h, size=w, mode="nearest", origin=-(w // 2))

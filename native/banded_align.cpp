@@ -819,6 +819,45 @@ int64_t split_match_runs_wide_v2(const int8_t* sym, const int8_t* qual,
     return (nr << 32) | ne;
 }
 
+// Minimizer-mask kernel: out[i] = 1 iff h[i] equals the minimum of SOME
+// w-window containing i (all ties — the selection rule of
+// aligner/index.py::minimizer_mask, whose scipy two-pass form dominated
+// index builds). Two monotonic-deque sliding-min passes, O(n); windows are
+// clipped at the array edges (== scipy's 'nearest' replication for a min).
+void minimizer_mask_c(const int32_t* h, int64_t n, int32_t w, int8_t* out) {
+    if (n <= 0) return;
+    int32_t* wmin = (int32_t*)malloc((size_t)n * sizeof(int32_t));
+    int64_t* dq = (int64_t*)malloc((size_t)n * sizeof(int64_t));
+    // pass 1: wmin[p] = min(h[p : p+w]) clipped
+    int64_t head = 0, tail = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        while (tail > head && h[dq[tail - 1]] > h[i]) --tail;
+        dq[tail++] = i;
+        int64_t p = i - w + 1;  // window [p, i] fully pushed
+        if (p >= 0) {
+            while (dq[head] < p) ++head;
+            wmin[p] = h[dq[head]];
+        }
+    }
+    // tail windows [p, n) for p > n-w (clipped): deque still holds suffix
+    for (int64_t p = (n - w + 1 > 0 ? n - w + 1 : 0); p < n; ++p) {
+        while (head < tail && dq[head] < p) ++head;
+        if (head < tail) wmin[p] = h[dq[head]];
+        else wmin[p] = h[p];
+    }
+    // pass 2: m2[i] = min(wmin[max(0, i-w+1) : i+1]); out = (h == m2)
+    head = tail = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        while (tail > head && wmin[dq[tail - 1]] > wmin[i]) --tail;
+        dq[tail++] = i;
+        int64_t lo = i - w + 1;
+        while (dq[head] < (lo > 0 ? lo : 0)) ++head;
+        out[i] = (h[i] == wmin[dq[head]]) ? 1 : 0;
+    }
+    free(wmin);
+    free(dq);
+}
+
 // _v3: like _v2 but additionally emits the SOURCE ROW of every output run /
 // explicit entry (rrow[r] for record r — callers pass per-record read
 // indices so device-side gating can switch whole reads on/off with a

@@ -272,3 +272,21 @@ def test_myers_dp_matches_scalar_band_oracle():
                 c2 += int(L)
                 j += L
         assert c2 == cm[r]  # CIGAR replays to the reported cost
+
+
+def test_native_minimizer_mask_matches_scipy():
+    """The C monotonic-deque minimizer mask must equal the scipy two-pass
+    spec for every window size and edge case."""
+    import bossruns_tpu.aligner.native as nm
+    from bossruns_tpu.aligner.index import minimizer_mask
+    from scipy.ndimage import minimum_filter1d
+
+    rng = np.random.default_rng(5)
+    assert nm._load() and hasattr(nm._load(), "minimizer_mask_c")
+    for n in (1, 5, 13, 1000, 65537):
+        for w in (1, 2, 5, 10, 16):
+            h = rng.integers(0, 50, n).astype(np.int32)
+            got = minimizer_mask(h, w)
+            wmin = minimum_filter1d(h, size=w, mode="nearest", origin=-(w // 2))
+            m2 = minimum_filter1d(wmin, size=w, mode="nearest", origin=(w - 1) // 2)
+            np.testing.assert_array_equal(got, h == m2, err_msg=f"n={n} w={w}")
