@@ -15,7 +15,7 @@ import logging
 import numpy as np
 
 from ..aligner import encode
-from ..aligner.index import build_index
+from ..aligner.index import build_index_cached
 from ..aligner.seed import DeviceIndex, seed_candidates
 
 logger = logging.getLogger("boss_tpu")
@@ -29,17 +29,16 @@ class PoolIndex:
 
     def __init__(self, seqs: dict[str, str], k: int = 15, w: int = 10, max_occ: int = 32):
         self.names = list(seqs)
-        enc = [encode(seqs[n]) for n in self.names]
-        self.lengths = np.array([e.shape[0] for e in enc], np.int64)
+        self.lengths = np.array([len(seqs[n]) for n in self.names], np.int64)
         starts = np.concatenate([[0], np.cumsum(self.lengths + GAP)[:-1]]).astype(np.int64)
         self.starts = starts
-        total = int((self.lengths + GAP).sum())
-        concat = np.full(total, 4, np.int8)
-        for s, e in zip(starts, enc):
-            concat[s : s + e.shape[0]] = e
-        valid = concat < 4
-        idx = build_index(np.where(valid, concat, 0).astype(np.uint8), valid, k=k, w=w, max_occ=max_occ)
-        self.host = idx  # host MinimizerIndex (CSR offsets/positions)
+        # assembled from per-sequence memoised scans: AEONS rebuilds this
+        # index every batch over a mostly-unchanged pool, so only NEW
+        # sequences pay the k-mer/window scan (bit-identical to the concat
+        # scan, tests/test_pool_index_cache.py)
+        self.host = build_index_cached(
+            [seqs[n] for n in self.names], starts, k=k, w=w, max_occ=max_occ
+        )
         self._dev: DeviceIndex | None = None
         self.k = k
 

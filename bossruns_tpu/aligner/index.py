@@ -197,22 +197,20 @@ def load_or_build_index(
     return idx
 
 
-def build_index(
-    seq_int: np.ndarray,
-    site_valid: np.ndarray,
-    k: int = K,
-    w: int = W,
-    max_occ: int = MAX_OCC,
+def _assemble_index(
+    keys_all: np.ndarray,
+    pos_all: np.ndarray,
+    strand_all: np.ndarray,
+    k: int,
+    w: int,
+    max_occ: int,
 ) -> MinimizerIndex:
-    codes = np.where(site_valid, seq_int, 4).astype(np.int8)
-    canonical, strand, h, ok = _kmer_scan_arrays(codes, k)
-    sel = minimizer_mask(h, w) & ok
-    pos = np.flatnonzero(sel)
-    keys_all = canonical[pos].astype(np.int64)
+    """Sort by key (stable: position order within a key is preserved), group
+    into CSR, drop keys over max_occ."""
     order = np.argsort(keys_all, kind="stable")
     keys_sorted = keys_all[order]
-    pos_sorted = pos[order].astype(np.int64)
-    strand_sorted = strand[pos][order]
+    pos_sorted = pos_all[order].astype(np.int64)
+    strand_sorted = strand_all[order]
     uniq, start, counts = np.unique(keys_sorted, return_index=True, return_counts=True)
     keep = counts <= max_occ
     # compact: rebuild positions with only kept keys
@@ -228,4 +226,132 @@ def build_index(
         strands=strands,
         k=k,
         w=w,
+    )
+
+
+def build_index(
+    seq_int: np.ndarray,
+    site_valid: np.ndarray,
+    k: int = K,
+    w: int = W,
+    max_occ: int = MAX_OCC,
+) -> MinimizerIndex:
+    codes = np.where(site_valid, seq_int, 4).astype(np.int8)
+    canonical, strand, h, ok = _kmer_scan_arrays(codes, k)
+    sel = minimizer_mask(h, w) & ok
+    pos = np.flatnonzero(sel)
+    return _assemble_index(
+        canonical[pos].astype(np.int64), pos.astype(np.int64), strand[pos],
+        k, w, max_occ,
+    )
+
+
+#: per-sequence minimizer-scan memo: (str hash, len, k, w) -> (keys, local
+#: positions, strands). AEONS rebuilds its pool index every batch over a
+#: mostly-unchanged sequence set; the scan (k-mer pass + window minima) is
+#: the dominant rebuild cost and is identical batch to batch per sequence,
+#: so it is computed once per sequence value. Bounded: oldest half evicted
+#: when full (reads leave the pool as they are merged into unitigs).
+_SEQ_SCAN_CACHE: dict[tuple, tuple] = {}
+_SEQ_SCAN_MAX = 8192
+
+
+def scan_seq_minimizers(seq: str, k: int = K, w: int = W):
+    """(keys, local_positions, strands) of one sequence's minimizers, memoised
+    by string value.
+
+    Scanning a sequence alone is exactly equivalent to scanning it inside a
+    gap-padded concatenation (aeons.ava.PoolIndex): gap-touching k-mers hash
+    to INVALID_HASH (never a window minimum next to any valid k-mer) and the
+    window-minimum edge clamping matches — pinned bit-identical against the
+    concat scan in tests/test_pool_index_cache.py.
+    """
+    memo_key = (hash(seq), len(seq), k, w)
+    hit = _SEQ_SCAN_CACHE.get(memo_key)
+    if hit is not None:
+        return hit
+    from . import encode
+
+    codes = encode(seq)
+    if codes.shape[0] - k + 1 <= 0:
+        out = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int8))
+    else:
+        canonical, strand, h, ok = _kmer_scan_arrays(codes, k)
+        sel = minimizer_mask(h, w) & ok
+        pos = np.flatnonzero(sel)
+        out = (canonical[pos].astype(np.int64), pos.astype(np.int64), strand[pos])
+    if len(_SEQ_SCAN_CACHE) >= _SEQ_SCAN_MAX:
+        for old in list(_SEQ_SCAN_CACHE)[: _SEQ_SCAN_MAX // 2]:
+            del _SEQ_SCAN_CACHE[old]
+    _SEQ_SCAN_CACHE[memo_key] = out
+    return out
+
+
+def _scan_uncached_bulk(seqs: list[str], keys: list[tuple], k: int, w: int) -> None:
+    """Scan many sequences in ONE gap-padded concatenated pass (amortising
+    the per-call kernel overhead of small sequences) and memoise each
+    sequence's local result. Equivalent to per-sequence scans — same
+    argument as scan_seq_minimizers, same pinning test."""
+    from . import encode
+
+    gap = 512
+    lengths = np.array([len(s) for s in seqs], np.int64)
+    starts = np.concatenate([[0], np.cumsum(lengths + gap)[:-1]]).astype(np.int64)
+    concat = np.full(int((lengths + gap).sum()), 4, np.int8)
+    for st, s in zip(starts, seqs):
+        concat[st : st + len(s)] = encode(s)
+    if concat.shape[0] - k + 1 <= 0:
+        canonical = strand = None
+        sel_pos = np.empty(0, np.int64)
+    else:
+        canonical, strand, h, ok = _kmer_scan_arrays(concat, k)
+        sel_pos = np.flatnonzero(minimizer_mask(h, w) & ok)
+    for memo_key, st, ln in zip(keys, starts, lengths):
+        lo, hi = np.searchsorted(sel_pos, [st, st + ln])
+        pos = sel_pos[lo:hi] - st
+        out = (
+            (canonical[sel_pos[lo:hi]].astype(np.int64) if canonical is not None
+             else np.empty(0, np.int64)),
+            pos.astype(np.int64),
+            (strand[sel_pos[lo:hi]] if strand is not None else np.empty(0, np.int8)),
+        )
+        if len(_SEQ_SCAN_CACHE) >= _SEQ_SCAN_MAX:
+            for old in list(_SEQ_SCAN_CACHE)[: _SEQ_SCAN_MAX // 2]:
+                del _SEQ_SCAN_CACHE[old]
+        _SEQ_SCAN_CACHE[memo_key] = out
+
+
+def build_index_cached(
+    seqs: list[str],
+    starts: np.ndarray,
+    k: int = K,
+    w: int = W,
+    max_occ: int = MAX_OCC,
+) -> MinimizerIndex:
+    """MinimizerIndex over a virtual gap-padded concatenation of seqs, built
+    from per-sequence memoised scans (scan_seq_minimizers). starts must be
+    ascending (concat order) so that within-key position order matches
+    build_index on the real concatenation bit for bit."""
+    memo_keys = [(hash(s), len(s), k, w) for s in seqs]
+    fresh = {}
+    for s, mk in zip(seqs, memo_keys):
+        if mk not in _SEQ_SCAN_CACHE:
+            fresh[mk] = s  # dedupes repeated values within the batch
+    if fresh:
+        _scan_uncached_bulk(list(fresh.values()), list(fresh.keys()), k, w)
+    keys_l, pos_l, strand_l = [], [], []
+    for mk, st, s in zip(memo_keys, starts, seqs):
+        hit = _SEQ_SCAN_CACHE.get(mk)
+        if hit is None:  # evicted mid-build (pool larger than the memo cap)
+            hit = scan_seq_minimizers(s, k, w)
+        ky, po, sd = hit
+        keys_l.append(ky)
+        pos_l.append(po + int(st))
+        strand_l.append(sd)
+    if not keys_l:
+        z = np.empty(0, np.int64)
+        return MinimizerIndex(z, np.zeros(1, np.int64), z, np.empty(0, np.int8), k, w)
+    return _assemble_index(
+        np.concatenate(keys_l), np.concatenate(pos_l), np.concatenate(strand_l),
+        k, w, max_occ,
     )

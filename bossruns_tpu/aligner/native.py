@@ -20,17 +20,46 @@ _LIB_PATH = _NATIVE_DIR / "libbossnative.so"
 _lib = None
 
 
+#: symbols the current source provides; a loaded .so missing any of them is
+#: a stale binary (e.g. restored from an old cache) and triggers a rebuild
+_EXPECTED_SYMS = (
+    "banded_align_batch", "kmer_scan", "parse_paf_block", "minimizer_mask_c",
+)
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-B", "-C", str(_NATIVE_DIR)], check=True, capture_output=True
+        )
+        return True
+    except Exception as e:  # noqa: BLE001
+        logger.info(f"native build failed ({e}); using numpy fallback aligner")
+        return False
+
+
+def _stale() -> bool:
+    """True when the on-disk .so predates the source or lacks an expected
+    export. Probed on the raw bytes (the dynsym strings) BEFORE any dlopen:
+    dlopen caches by path, so a stale library must be replaced first."""
+    try:
+        st = _LIB_PATH.stat()
+        for src in (_NATIVE_DIR / "banded_align.cpp", _NATIVE_DIR / "Makefile"):
+            if src.stat().st_mtime > st.st_mtime:
+                return True
+        blob = _LIB_PATH.read_bytes()
+        return not all(s.encode() in blob for s in _EXPECTED_SYMS)
+    except OSError:
+        return True
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
-        try:
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
-        except Exception as e:  # noqa: BLE001
-            logger.info(f"native build failed ({e}); using numpy fallback aligner")
-            _lib = False
-            return _lib
+    if _stale() and not _build():
+        _lib = False
+        return _lib
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError as e:
