@@ -132,6 +132,8 @@ def find_overlaps(
         "qname qlen qstart qend rev tname tlen tstart tend nmatch blocklen s1".split()
     )}
     k = pool_index.k
+    qname_arr = np.array(qnames, dtype=object)
+    name_arr = np.array(pool_index.names, dtype=object)
     for L, group in _bucketize(enc):
         if host:
             cands = host_seed_candidates(
@@ -145,39 +147,44 @@ def find_overlaps(
                 mat[r, : min(enc[g].shape[0], L)] = enc[g][:L]
             cands = seed_candidates(mat, pool_index.dev, ncand=ncand)
         nc = cands["votes"].shape[1]
-        for r, g in enumerate(group):
-            qname = qnames[g]
-            qlen = int(enc[g].shape[0])
-            for ci in range(nc):
-                votes = int(cands["votes"][r, ci])
-                if votes < min_votes:
-                    continue
-                tmin, tmax = int(cands["tmin"][r, ci]), int(cands["tmax"][r, ci]) + k
-                qmin, qmax = int(cands["qmin"][r, ci]), int(cands["qmax"][r, ci]) + k
-                tid = pool_index.locate(tmin)
-                tname = pool_index.names[tid]
-                if exclude_self and tname == qname:
-                    continue
-                t0 = int(pool_index.starts[tid])
-                tl = int(pool_index.lengths[tid])
-                ts, te = tmin - t0, min(tmax - t0, tl)
-                if te <= ts:
-                    continue
-                rev = int(cands["strand"][r, ci])
-                qs, qe = qmin, min(qmax, qlen)
-                span = min(qe - qs, te - ts)
-                rows["qname"].append(qname)
-                rows["qlen"].append(qlen)
-                rows["qstart"].append(qs)
-                rows["qend"].append(qe)
-                rows["rev"].append(rev)
-                rows["tname"].append(tname)
-                rows["tlen"].append(tl)
-                rows["tstart"].append(ts)
-                rows["tend"].append(te)
-                rows["nmatch"].append(min(votes * k, span))
-                rows["blocklen"].append(max(qe - qs, te - ts))
-                rows["s1"].append(min(votes * k, span))
+        ng = len(group)
+        # columnar candidate -> record conversion (no per-candidate Python)
+        g_idx = np.repeat(np.asarray(group, np.int64), nc)          # [ng*nc]
+        votes = np.asarray(cands["votes"][:ng]).ravel()
+        keep = votes >= min_votes
+        if not keep.any():
+            continue
+        g_idx, votes = g_idx[keep], votes[keep]
+        tmin = np.asarray(cands["tmin"][:ng]).ravel()[keep]
+        tmax = np.asarray(cands["tmax"][:ng]).ravel()[keep] + k
+        qmin = np.asarray(cands["qmin"][:ng]).ravel()[keep]
+        qmax = np.asarray(cands["qmax"][:ng]).ravel()[keep] + k
+        rev = np.asarray(cands["strand"][:ng]).ravel()[keep]
+        tid = np.searchsorted(pool_index.starts, tmin, side="right") - 1
+        tname = name_arr[tid]
+        qname = qname_arr[g_idx]
+        qlen = np.array([enc[g].shape[0] for g in g_idx], np.int64)
+        t0 = pool_index.starts[tid]
+        tl = pool_index.lengths[tid]
+        ts = tmin - t0
+        te = np.minimum(tmax - t0, tl)
+        qs = qmin
+        qe = np.minimum(qmax, qlen)
+        keep2 = te > ts
+        if exclude_self:
+            keep2 &= tname != qname
+        if not keep2.any():
+            continue
+        span = np.minimum(qe - qs, te - ts)
+        nmatch = np.minimum(votes * k, span)
+        blocklen = np.maximum(qe - qs, te - ts)
+        for field, vals in (
+            ("qname", qname), ("qlen", qlen), ("qstart", qs), ("qend", qe),
+            ("rev", rev), ("tname", tname), ("tlen", tl), ("tstart", ts),
+            ("tend", te), ("nmatch", nmatch), ("blocklen", blocklen),
+            ("s1", nmatch),
+        ):
+            rows[field].extend(vals[keep2].tolist())
     return merge_chains(rows) if merge else rows
 
 
