@@ -31,7 +31,8 @@ import numpy as np
 from ..io.paf import PafRecords
 from ..models.layout import GenomeLayout
 from . import native
-from .index import K, MinimizerIndex, W, build_index, load_or_build_index
+from .index import (K, MinimizerIndex, W, build_index, build_index_layout,
+                    load_or_build_index)
 from .seed import NCAND, SEED_FIELDS, DeviceIndex, seed_and_vote
 
 logger = logging.getLogger("boss_tpu")
@@ -146,8 +147,14 @@ class TpuAligner:
         self.threads = threads
         self.target = np.where(layout.site_valid(), layout.seq_int, 4).astype(np.int8)
         logger.info("building minimizer index")
-        self.index: MinimizerIndex = load_or_build_index(
-            layout.seq_int, layout.site_valid(), source, k=k, w=w, max_occ=max_occ
+        # in-memory layouts (source=None, e.g. AEONS decision contigs) build
+        # from per-contig memoised scans: only changed contigs re-scan
+        self.index: MinimizerIndex = (
+            build_index_layout(layout, k=k, w=w, max_occ=max_occ)
+            if source is None
+            else load_or_build_index(
+                layout.seq_int, layout.site_valid(), source, k=k, w=w, max_occ=max_occ
+            )
         )
         self.dev_index = DeviceIndex(self.index)
         logger.info(f"index: {self.index.n_minimizers} minimizers, "

@@ -24,7 +24,7 @@ import numpy as np
 from ..models.layout import GenomeLayout
 from . import LENGTH_BUCKETS, TpuAligner, encode
 from .host_seed import host_seed_topn
-from .index import K, MinimizerIndex, W, load_or_build_index
+from .index import K, MinimizerIndex, W, build_index_layout, load_or_build_index
 from .seed import NCAND
 
 logger = logging.getLogger("boss_tpu")
@@ -59,8 +59,12 @@ class CpuAligner(TpuAligner):
         self.max_divergence = max_divergence
         self.threads = threads
         self.target = np.where(layout.site_valid(), layout.seq_int, 4).astype(np.int8)
-        self.index: MinimizerIndex = load_or_build_index(
-            layout.seq_int, layout.site_valid(), source, k=k, w=w, max_occ=max_occ
+        self.index: MinimizerIndex = (
+            build_index_layout(layout, k=k, w=w, max_occ=max_occ)
+            if source is None
+            else load_or_build_index(
+                layout.seq_int, layout.site_valid(), source, k=k, w=w, max_occ=max_occ
+            )
         )
         logger.info(f"cpu baseline index: {self.index.n_minimizers} minimizers")
         self._block_starts = layout.offsets.astype(np.int64)

@@ -272,18 +272,8 @@ def scan_seq_minimizers(seq: str, k: int = K, w: int = W):
         return hit
     from . import encode
 
-    codes = encode(seq)
-    if codes.shape[0] - k + 1 <= 0:
-        out = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int8))
-    else:
-        canonical, strand, h, ok = _kmer_scan_arrays(codes, k)
-        sel = minimizer_mask(h, w) & ok
-        pos = np.flatnonzero(sel)
-        out = (canonical[pos].astype(np.int64), pos.astype(np.int64), strand[pos])
-    if len(_SEQ_SCAN_CACHE) >= _SEQ_SCAN_MAX:
-        for old in list(_SEQ_SCAN_CACHE)[: _SEQ_SCAN_MAX // 2]:
-            del _SEQ_SCAN_CACHE[old]
-    _SEQ_SCAN_CACHE[memo_key] = out
+    out = _scan_codes(encode(seq), k, w)
+    _memo_put(memo_key, out)
     return out
 
 
@@ -315,10 +305,62 @@ def _scan_uncached_bulk(seqs: list[str], keys: list[tuple], k: int, w: int) -> N
             pos.astype(np.int64),
             (strand[sel_pos[lo:hi]] if strand is not None else np.empty(0, np.int8)),
         )
-        if len(_SEQ_SCAN_CACHE) >= _SEQ_SCAN_MAX:
-            for old in list(_SEQ_SCAN_CACHE)[: _SEQ_SCAN_MAX // 2]:
-                del _SEQ_SCAN_CACHE[old]
-        _SEQ_SCAN_CACHE[memo_key] = out
+        _memo_put(memo_key, out)
+
+
+def _memo_put(memo_key: tuple, out: tuple) -> None:
+    if len(_SEQ_SCAN_CACHE) >= _SEQ_SCAN_MAX:
+        for old in list(_SEQ_SCAN_CACHE)[: _SEQ_SCAN_MAX // 2]:
+            del _SEQ_SCAN_CACHE[old]
+    _SEQ_SCAN_CACHE[memo_key] = out
+
+
+def _scan_codes(codes: np.ndarray, k: int, w: int) -> tuple:
+    """(keys, local_positions, strands) of one code array's minimizers."""
+    if codes.shape[0] - k + 1 <= 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int8))
+    canonical, strand, h, ok = _kmer_scan_arrays(codes, k)
+    sel = minimizer_mask(h, w) & ok
+    pos = np.flatnonzero(sel)
+    return (canonical[pos].astype(np.int64), pos.astype(np.int64), strand[pos])
+
+
+def build_index_layout(layout, k: int = K, w: int = W, max_occ: int = MAX_OCC) -> MinimizerIndex:
+    """Per-contig memoised index build for in-memory GenomeLayouts.
+
+    AEONS decision aligners rebuild their index whenever the contig set
+    moves (aeons/simulation.py::make_decisions), usually changing only a few
+    contigs — each contig block scans once and is remembered. Bit-identical
+    to build_index over the padded concatenation: blocks are separated by
+    >= 1 invalid padding site and k+1 > w, so no k-mer or selection window
+    spans two contigs (pinned in tests/test_pool_index_cache.py). Falls
+    back to the one-shot concat scan when a block has no trailing padding
+    (contig length an exact CHUNK multiple) or k+1 <= w.
+    """
+    offs = layout.offsets.astype(np.int64)
+    lens = layout.lengths.astype(np.int64)
+    nexts = np.concatenate([offs[1:], [layout.G_pad]]).astype(np.int64)
+    if k + 1 <= w or (lens.shape[0] and bool(np.any(offs + lens >= nexts))):
+        return build_index(layout.seq_int, layout.site_valid(), k=k, w=w, max_occ=max_occ)
+    keys_l, pos_l, strand_l = [], [], []
+    for off, ln in zip(offs, lens):
+        codes = np.ascontiguousarray(layout.seq_int[off : off + ln]).astype(np.int8)
+        memo_key = (hash(codes.tobytes()), int(ln), k, w, "layout")
+        hit = _SEQ_SCAN_CACHE.get(memo_key)
+        if hit is None:
+            hit = _scan_codes(codes, k, w)
+            _memo_put(memo_key, hit)
+        ky, po, sd = hit
+        keys_l.append(ky)
+        pos_l.append(po + int(off))
+        strand_l.append(sd)
+    if not keys_l:
+        z = np.empty(0, np.int64)
+        return MinimizerIndex(z, np.zeros(1, np.int64), z, np.empty(0, np.int8), k, w)
+    return _assemble_index(
+        np.concatenate(keys_l), np.concatenate(pos_l), np.concatenate(strand_l),
+        k, w, max_occ,
+    )
 
 
 def build_index_cached(

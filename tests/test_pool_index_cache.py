@@ -84,6 +84,33 @@ def test_poolindex_memo_hits_across_rebuilds():
     assert len(_SEQ_SCAN_CACHE) == n_after_first + 1
 
 
+def test_layout_build_matches_full_scan():
+    """build_index_layout (per-contig memoised, used by aligners with
+    source=None) == build_index over the padded concatenation — including
+    N bases, which the layout maps to base 0 with site_valid True
+    (reference _seq2int semantics), unlike encode()."""
+    from bossruns_tpu.aligner.index import build_index_layout
+    from bossruns_tpu.models.layout import build_layout
+
+    rng = np.random.default_rng(17)
+    contigs = {}
+    for i in range(4):
+        L = int(rng.integers(2_000, 150_000))
+        s = "".join(BASES[rng.integers(0, 4, L)])
+        if i % 2 == 0:
+            p = L // 3
+            s = s[:p] + "NN" + s[p + 2 :]
+        contigs[f"c{i}"] = s
+    layout = build_layout(contigs, min_len=500)
+    for k, w, occ in ((15, 10, 64), (13, 5, 32)):
+        ref = build_index(layout.seq_int, layout.site_valid(), k=k, w=w, max_occ=occ)
+        got = build_index_layout(layout, k=k, w=w, max_occ=occ)
+        got2 = build_index_layout(layout, k=k, w=w, max_occ=occ)  # memo-hit pass
+        for a in ("keys", "offsets", "positions", "strands"):
+            np.testing.assert_array_equal(getattr(got, a), getattr(ref, a))
+            np.testing.assert_array_equal(getattr(got2, a), getattr(ref, a))
+
+
 def test_scan_memo_returns_same_arrays():
     s = "".join(BASES[np.random.default_rng(0).integers(0, 4, 500)])
     a = scan_seq_minimizers(s)
