@@ -124,7 +124,31 @@ def _sorted_segments(rid, space, diag, qpos, gpos, n_reads: int, cw: int):
 
 
 def _votes(comp, tol: int):
-    """votes[i] = #anchors in i's segment within tol of i's diagonal."""
+    """votes[i] = #anchors in i's segment within tol of i's diagonal.
+
+    Native two-pointer sweep over the sorted composite keys when built
+    (replaces two n-log-n searchsorted passes on the seeding critical
+    path); the NumPy form below is the executable spec (pinned equal in
+    tests/test_native_host.py)."""
+    from . import native as native_mod
+
+    lib = native_mod._load()
+    if lib and hasattr(lib, "seed_votes_c") and comp.shape[0]:
+        import ctypes
+
+        if not hasattr(lib, "_votes_ready"):
+            lib.seed_votes_c.restype = None
+            lib.seed_votes_c.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib._votes_ready = True
+        out = np.empty(comp.shape[0], np.int64)
+        c = np.ascontiguousarray(comp, np.int64)
+        lib.seed_votes_c(
+            c.ctypes.data_as(ctypes.c_void_p), np.int64(c.shape[0]),
+            np.int64(tol), out.ctypes.data_as(ctypes.c_void_p),
+        )
+        return out
     return (
         np.searchsorted(comp, comp + tol, side="right")
         - np.searchsorted(comp, comp - tol - 1, side="right")
@@ -180,6 +204,27 @@ def _peel_mask(votes, comp, seg_sel, key_sel, tol2, have):
     lo = np.searchsorted(comp, base | (key_sel[sel] - tol2 + _DOFF), side="left")
     hi = np.searchsorted(comp, base | (key_sel[sel] + tol2 + _DOFF), side="right")
     n = votes.shape[0]
+    from . import native as native_mod
+
+    lib = native_mod._load()
+    if lib and hasattr(lib, "peel_mask_c") and votes.flags.c_contiguous:
+        import ctypes
+
+        if not hasattr(lib, "_peel_ready"):
+            lib.peel_mask_c.restype = None
+            lib.peel_mask_c.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ]
+            lib._peel_ready = True
+        lo_c = np.ascontiguousarray(lo, np.int64)
+        hi_c = np.ascontiguousarray(hi, np.int64)
+        lib.peel_mask_c(
+            votes.ctypes.data_as(ctypes.c_void_p), np.int64(n),
+            lo_c.ctypes.data_as(ctypes.c_void_p),
+            hi_c.ctypes.data_as(ctypes.c_void_p), np.int64(lo_c.shape[0]),
+        )
+        return
     mark = np.zeros(n + 1, np.int32)
     np.add.at(mark, lo, 1)
     np.add.at(mark, hi, -1)

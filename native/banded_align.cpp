@@ -934,3 +934,48 @@ int64_t split_match_runs_wide_v3(const int8_t* sym, const int8_t* qual,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host-seeding hot helpers (aligner/host_seed.py).
+//
+// seed_votes_c: votes[i] = #elements of the sorted composite-key array within
+// [comp[i]-tol, comp[i]+tol] — a two-pointer sweep replacing two
+// n-log-n searchsorted passes (host_seed.py::_votes is the executable spec,
+// pinned equal in tests/test_native_host.py).
+//
+// peel_mask_c: set votes[lo_j : hi_j) = -1 for m (possibly overlapping)
+// ranges via an O(n + m) difference-array pass (host_seed.py::_peel_mask
+// spec).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void seed_votes_c(const int64_t* comp, int64_t n, int64_t tol, int64_t* votes) {
+    int64_t lo = 0, hi = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        while (comp[i] - comp[lo] > tol) ++lo;
+        if (hi < i + 1) hi = i + 1;
+        while (hi < n && comp[hi] - comp[i] <= tol) ++hi;
+        votes[i] = hi - lo;
+    }
+}
+
+void peel_mask_c(int64_t* votes, int64_t n, const int64_t* lo,
+                 const int64_t* hi, int64_t m) {
+    if (n <= 0 || m <= 0) return;
+    int32_t* mark = (int32_t*)calloc((size_t)n + 1, sizeof(int32_t));
+    for (int64_t j = 0; j < m; ++j) {
+        int64_t a = lo[j], b = hi[j];
+        if (a < 0) a = 0;
+        if (b > n) b = n;
+        if (a < b) { mark[a] += 1; mark[b] -= 1; }
+    }
+    int64_t acc = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        acc += mark[i];
+        if (acc > 0) votes[i] = -1;
+    }
+    free(mark);
+}
+
+}  // extern "C"

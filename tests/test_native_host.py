@@ -290,3 +290,68 @@ def test_native_minimizer_mask_matches_scipy():
             wmin = minimum_filter1d(h, size=w, mode="nearest", origin=-(w // 2))
             m2 = minimum_filter1d(wmin, size=w, mode="nearest", origin=(w - 1) // 2)
             np.testing.assert_array_equal(got, h == m2, err_msg=f"n={n} w={w}")
+
+
+def test_native_seed_votes_matches_searchsorted():
+    """seed_votes_c (two-pointer over sorted composite keys) == the
+    searchsorted spec in host_seed._votes."""
+    import ctypes
+
+    import bossruns_tpu.aligner.native as nm
+
+    lib = nm._load()
+    assert lib and hasattr(lib, "seed_votes_c")
+    lib.seed_votes_c.restype = None
+    lib.seed_votes_c.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+    ]
+    rng = np.random.default_rng(9)
+    for n in (1, 2, 100, 50_000):
+        for tol in (0, 1, 25, 500):
+            # segment-structured keys like the real composite layout
+            seg = np.sort(rng.integers(0, 8, n)).astype(np.int64)
+            diag = rng.integers(0, 2000, n).astype(np.int64)
+            comp = np.sort((seg << 35) | diag)
+            spec = (
+                np.searchsorted(comp, comp + tol, side="right")
+                - np.searchsorted(comp, comp - tol - 1, side="right")
+            ).astype(np.int64)
+            got = np.empty(n, np.int64)
+            lib.seed_votes_c(
+                comp.ctypes.data_as(ctypes.c_void_p), np.int64(n),
+                np.int64(tol), got.ctypes.data_as(ctypes.c_void_p),
+            )
+            np.testing.assert_array_equal(got, spec, err_msg=f"n={n} tol={tol}")
+
+
+def test_native_peel_mask_matches_diff_array():
+    """peel_mask_c == the numpy difference-array spec, overlapping and
+    clipped ranges included."""
+    import ctypes
+
+    import bossruns_tpu.aligner.native as nm
+
+    lib = nm._load()
+    assert lib and hasattr(lib, "peel_mask_c")
+    lib.peel_mask_c.restype = None
+    lib.peel_mask_c.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    rng = np.random.default_rng(13)
+    for n, m in ((10, 3), (1000, 40), (100_000, 500)):
+        votes = rng.integers(0, 50, n).astype(np.int64)
+        lo = rng.integers(0, n, m).astype(np.int64)
+        hi = np.minimum(lo + rng.integers(0, n // 2, m), n).astype(np.int64)
+        spec = votes.copy()
+        mark = np.zeros(n + 1, np.int32)
+        np.add.at(mark, lo, 1)
+        np.add.at(mark, hi, -1)
+        spec[np.cumsum(mark[:n]) > 0] = -1
+        got = votes.copy()
+        lib.peel_mask_c(
+            got.ctypes.data_as(ctypes.c_void_p), np.int64(n),
+            lo.ctypes.data_as(ctypes.c_void_p),
+            hi.ctypes.data_as(ctypes.c_void_p), np.int64(m),
+        )
+        np.testing.assert_array_equal(got, spec, err_msg=f"n={n} m={m}")
