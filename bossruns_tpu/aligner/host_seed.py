@@ -168,8 +168,36 @@ def _seg_tables(seg, values, n_reads: int, fill):
 
 
 def _interval_minmax(vals, lo, hi, empty):
-    """min and max of vals[lo_i:hi_i] per interval (reduceat interleave)."""
+    """min and max of vals[lo_i:hi_i] per interval.
+
+    Native per-interval scan when built — work proportional to the summed
+    interval (cluster) sizes instead of the full anchor array the reduceat
+    interleave below touches; the NumPy form is the executable spec (pinned
+    equal in tests/test_native_host.py)."""
+    from . import native as native_mod
+
+    lib = native_mod._load()
     n = lo.shape[0]
+    if lib and hasattr(lib, "interval_minmax_c") and n:
+        import ctypes
+
+        if not hasattr(lib, "_iminmax_ready"):
+            lib.interval_minmax_c.restype = None
+            lib.interval_minmax_c.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib._iminmax_ready = True
+        v = np.ascontiguousarray(vals, np.int64)
+        lo_c = np.ascontiguousarray(np.minimum(lo, v.shape[0]), np.int64)
+        hi_c = np.ascontiguousarray(np.minimum(hi, v.shape[0]), np.int64)
+        mn = np.empty(n, np.int64)
+        mx = np.empty(n, np.int64)
+        c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        lib.interval_minmax_c(
+            c(v), c(lo_c), c(hi_c), np.int64(n), np.int64(empty), c(mn), c(mx)
+        )
+        return mn, mx
     mn = np.full(n, empty, np.int64)
     mx = np.full(n, -empty, np.int64)
     ok = hi > lo

@@ -979,3 +979,25 @@ void peel_mask_c(int64_t* votes, int64_t n, const int64_t* lo,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// interval_minmax_c: per-interval min/max of vals[lo_j : hi_j) (host_seed.py
+// ::_interval_minmax spec — empty intervals yield (empty, -empty)). Work is
+// the sum of interval sizes (cluster sizes), not the full array length the
+// NumPy reduceat interleave pays.
+void interval_minmax_c(const int64_t* vals, const int64_t* lo, const int64_t* hi,
+                       int64_t m, int64_t empty, int64_t* mn, int64_t* mx) {
+    for (int64_t j = 0; j < m; ++j) {
+        int64_t vmn = empty, vmx = -empty;
+        for (int64_t i = lo[j]; i < hi[j]; ++i) {
+            int64_t v = vals[i];
+            if (v < vmn) vmn = v;
+            if (v > vmx) vmx = v;
+        }
+        mn[j] = vmn;
+        mx[j] = vmx;
+    }
+}
+
+}  // extern "C"

@@ -355,3 +355,37 @@ def test_native_peel_mask_matches_diff_array():
             hi.ctypes.data_as(ctypes.c_void_p), np.int64(m),
         )
         np.testing.assert_array_equal(got, spec, err_msg=f"n={n} m={m}")
+
+
+def test_native_interval_minmax_matches_spec():
+    """interval_minmax_c == host_seed's reduceat spec (incl. empty
+    intervals and hi == len(vals))."""
+    import ctypes
+
+    import bossruns_tpu.aligner.native as nm
+    from bossruns_tpu.aligner import host_seed as hs
+
+    lib = nm._load()
+    assert lib and hasattr(lib, "interval_minmax_c")
+    rng = np.random.default_rng(21)
+    for n, m in ((5, 4), (1000, 64), (200_000, 900)):
+        vals = rng.integers(-(10**6), 10**6, n).astype(np.int64)
+        lo = rng.integers(0, n, m).astype(np.int64)
+        hi = np.minimum(lo + rng.integers(0, 200, m), n).astype(np.int64)
+        lo[0] = hi[0] = 0  # empty interval
+        hi[-1] = n         # touches the end
+        lo[-1] = max(0, n - 50)
+        empty = np.int64(1) << 33
+        # numpy spec (the pre-native body of _interval_minmax)
+        mn = np.full(m, empty, np.int64)
+        mx = np.full(m, -empty, np.int64)
+        ok = hi > lo
+        li, hi_i = lo[ok], hi[ok]
+        idx = np.empty(2 * li.shape[0], np.int64)
+        idx[0::2] = li
+        idx[1::2] = np.minimum(hi_i, n - 1)
+        mn[ok] = np.minimum(np.minimum.reduceat(vals, idx)[0::2], vals[hi_i - 1])
+        mx[ok] = np.maximum(np.maximum.reduceat(vals, idx)[0::2], vals[hi_i - 1])
+        got_mn, got_mx = hs._interval_minmax(vals, lo, hi, empty)
+        np.testing.assert_array_equal(got_mn, mn, err_msg=f"n={n} m={m}")
+        np.testing.assert_array_equal(got_mx, mx, err_msg=f"n={n} m={m}")
