@@ -107,8 +107,11 @@ def test_two_process_mask_contract(tmp_path):
                     pre = max(pre, it)
             return pre, cur
 
+        # generous deadline: under a loaded machine (other suites/benches
+        # sharing the host) one decision-plane iteration can stretch from
+        # ~throttle to tens of seconds; 120 s was observed insufficient
         t0 = time.monotonic()
-        while time.monotonic() - t0 < 120:
+        while time.monotonic() - t0 < 360:
             pre_it, cur_it = _iters()
             if cur_it >= pre_it + 3:
                 break
