@@ -22,8 +22,9 @@ XLA compile cache when the workspace is re-provisioned, and a remote axon
 compile costs 2-8 MINUTES per shape, so the old sequential suite burned its
 whole budget compiling): the headline prints the moment its f64 number
 exists; every other section runs as a SUBPROCESS under a hard timeout sized
-from the remaining budget (BENCH_BUDGET_S, default 1500 s), so no section —
-compiling or not — can eat the suite. A cold cache is detected from the
+from the remaining budget (BENCH_BUDGET_S, default 900 s), so no section —
+compiling or not — can eat the suite. A fully-warm complete run measures
+~6 min (all sections, zero skips). A cold cache is detected from the
 headline's own compile time and switches the section estimates to their
 cold brackets (sections that cannot fit are skipped with an explicit line).
 All compiles land in the persistent cache (.jax_cache), so even a partially
