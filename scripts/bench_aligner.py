@@ -23,14 +23,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def _time_pass(al, seqs, kw, trials):
-    al.map_sequences(seqs, **kw)  # warm (loads/caches kernels)
-    times = []
+def _time_pair(base, subj, seqs, kw, trials):
+    """Median seconds for (baseline, subject), trials INTERLEAVED so host
+    load / pool weather hits both sides of the ratio equally — sequential
+    blocks made vs_baseline swing with whatever else shared the machine."""
+    base.map_sequences(seqs, **kw)  # warm (loads/caches kernels)
+    rec = subj.map_sequences(seqs, **kw)
+    tb, ts = [], []
     for _ in range(trials):
         t0 = time.perf_counter()
-        rec = al.map_sequences(seqs, **kw)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times)), rec
+        base.map_sequences(seqs, **kw)
+        tb.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        rec = subj.map_sequences(seqs, **kw)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(tb)), float(np.median(ts)), rec
 
 
 def main(n_reads: int = 2000, trials: int = 3):
@@ -63,8 +70,7 @@ def main(n_reads: int = 2000, trials: int = 3):
     # host seeding, 8 workers, at this scale) — measured against the
     # 4-thread reference-parity baseline
     prod = make_aligner(lay, k=13, w=5, min_votes=3)
-    cpu_sec_trunc, _ = _time_pass(cpu, seqs, dict(trunc=True), trials)
-    prod_sec, prec = _time_pass(prod, seqs, dict(trunc=True), trials)
+    cpu_sec_trunc, prod_sec, prec = _time_pair(cpu, prod, seqs, dict(trunc=True), trials)
     print(json.dumps({
         "metric": "aligner_production_trunc_reads_per_s",
         "value": round(n_reads / prod_sec, 1),
@@ -78,8 +84,7 @@ def main(n_reads: int = 2000, trials: int = 3):
         },
     }), flush=True)
     for label, kw in (("trunc", dict(trunc=True)), ("full", dict())):
-        cpu_sec, _ = _time_pass(cpu, seqs, kw, trials)
-        tpu_sec, rec = _time_pass(tpu, seqs, kw, trials)
+        cpu_sec, tpu_sec, rec = _time_pair(cpu, tpu, seqs, kw, trials)
         mapped = len(set(rec.qname))
         correct = sum(
             1 for i in range(len(rec.qname))
