@@ -106,10 +106,17 @@ def _anchors(enc_reads, index: MinimizerIndex, budget: int, occ_cap: int = OCC_C
 
 
 def _sorted_segments(rid, space, diag, qpos, gpos, n_reads: int, cw: int):
-    """Lexsort anchors by (rid, space, diag); apply the device's
+    """Sort anchors by (rid, space, diag); apply the device's
     compaction-width drop (keep the cw smallest diagonals per segment);
-    return sorted columns + composite keys + per-segment start offsets."""
-    order = np.lexsort((diag, space, rid))
+    return sorted columns + composite keys + per-segment start offsets.
+
+    One stable argsort on the composite key (seg << 35 | diag+off) — the
+    composite orders exactly like lexsort((diag, space, rid)) and ties
+    (identical seg+diag) keep input order under both, so this is the same
+    permutation at a third of the sort passes."""
+    comp = ((rid * 2 + space) << _SEG_SHIFT) | (diag + _DOFF)
+    order = np.argsort(comp, kind="stable")
+    comp = comp[order]
     rid, space, diag = rid[order], space[order], diag[order]
     qpos, gpos = qpos[order], gpos[order]
     seg = rid * 2 + space
@@ -118,8 +125,7 @@ def _sorted_segments(rid, space, diag, qpos, gpos, n_reads: int, cw: int):
     keep = rank < cw
     if not keep.all():
         rid, space, diag = rid[keep], space[keep], diag[keep]
-        qpos, gpos, seg = qpos[keep], gpos[keep], seg[keep]
-    comp = (seg << _SEG_SHIFT) | (diag + _DOFF)
+        qpos, gpos, seg, comp = qpos[keep], gpos[keep], seg[keep], comp[keep]
     return rid, space, diag, qpos, gpos, seg, comp
 
 
