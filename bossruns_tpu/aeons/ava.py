@@ -136,8 +136,21 @@ def find_overlaps(
     name_arr = np.array(pool_index.names, dtype=object)
     for L, group in _bucketize(enc):
         if host:
+            # reuse memoised minimizer scans when available (new reads were
+            # just scanned for the pool index build): same anchors, skips
+            # the per-query k-mer/window re-scan. Truncated reads (> L) and
+            # memo misses fall back to the batch scan.
+            from ..aligner.index import _SEQ_SCAN_CACHE
+
+            w = pool_index.host.w
+            scans = [
+                _SEQ_SCAN_CACHE.get((hash(queries[qnames[g]]), enc[g].shape[0], k, w))
+                if enc[g].shape[0] <= L else None
+                for g in group
+            ]
             cands = host_seed_candidates(
-                [enc[g][:L] for g in group], pool_index.host, ncand=ncand, L=L
+                [enc[g][:L] for g in group], pool_index.host, ncand=ncand, L=L,
+                pre_scans=scans if all(s is not None for s in scans) else None,
             )
             cands = {f: np.asarray(v) for f, v in cands.items()}
         else:

@@ -72,14 +72,39 @@ def _batch_minimizers(enc_reads: list[np.ndarray], k: int, w: int, budget: int):
     return rid, qpos, canonical[pos].astype(np.int64), strand[pos].astype(np.int64)
 
 
-def _anchors(enc_reads, index: MinimizerIndex, budget: int, occ_cap: int = OCC_CAP):
+def _merge_pre_scans(pre_scans, budget: int):
+    """(rid, qpos, key, strand) from per-read memoised scans — identical to
+    _batch_minimizers' output (minimizer positions are ascending per read and
+    the first-`budget` cap matches compact_minimizers semantics)."""
+    rids, qposs, keys, strands = [], [], [], []
+    for r, (ky, po, sd) in enumerate(pre_scans):
+        if po.shape[0] > budget:
+            ky, po, sd = ky[:budget], po[:budget], sd[:budget]
+        rids.append(np.full(po.shape[0], r, np.int64))
+        qposs.append(po.astype(np.int64))
+        keys.append(ky.astype(np.int64))
+        strands.append(sd.astype(np.int64))
+    if not rids:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z
+    return (np.concatenate(rids), np.concatenate(qposs),
+            np.concatenate(keys), np.concatenate(strands))
+
+
+def _anchors(enc_reads, index: MinimizerIndex, budget: int, occ_cap: int = OCC_CAP,
+             pre_scans=None):
     """(rid, space, diag, qpos, gpos) of every anchor, mirroring the device
     lookup: exact key match, first ``occ_cap`` occurrences per key.
 
     space 0 = same-strand (diag = gpos - qpos), 1 = opposite
-    (diag = gpos + qpos).
+    (diag = gpos + qpos). pre_scans: optional per-read memoised minimizer
+    scans (aligner.index._SEQ_SCAN_CACHE entries) replacing the batch
+    k-mer/window scan — exact same anchors (pinned in tests/test_host_seed.py).
     """
-    rid, qpos, key, strand = _batch_minimizers(enc_reads, index.k, index.w, budget)
+    if pre_scans is not None:
+        rid, qpos, key, strand = _merge_pre_scans(pre_scans, budget)
+    else:
+        rid, qpos, key, strand = _batch_minimizers(enc_reads, index.k, index.w, budget)
     if index.keys.shape[0] == 0 or rid.shape[0] == 0:
         z = np.zeros(0, np.int64)
         return z, z, z, z, z
@@ -327,7 +352,8 @@ def host_seed_topn(enc_reads: list[np.ndarray], index: MinimizerIndex,
 def host_seed_candidates(enc_reads: list[np.ndarray], index: MinimizerIndex,
                          ncand: int = 4, tol: int | None = None,
                          L: int | None = None,
-                         occ_cap: int = OCC_CAP) -> dict[str, np.ndarray]:
+                         occ_cap: int = OCC_CAP,
+                         pre_scans=None) -> dict[str, np.ndarray]:
     """Host mirror of seed.py::_seed_candidates_jit (ava-style seeding).
 
     Returns dict of [n, 2*ncand] arrays (votes, strand, qmin, qmax, tmin,
@@ -345,7 +371,9 @@ def host_seed_candidates(enc_reads: list[np.ndarray], index: MinimizerIndex,
     out = {f: np.zeros((n_reads, nc2), np.int64)
            for f in ("votes", "strand", "qmin", "qmax", "tmin", "tmax")}
     out["strand"][:, ncand:] = 1
-    rid, space, diag, qpos, gpos = _anchors(enc_reads, index, budget, occ_cap)
+    rid, space, diag, qpos, gpos = _anchors(
+        enc_reads, index, budget, occ_cap, pre_scans=pre_scans
+    )
     if rid.shape[0] == 0:
         return out
     rid, space, diag, qpos, gpos, seg, comp = _sorted_segments(

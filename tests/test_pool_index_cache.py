@@ -111,6 +111,31 @@ def test_layout_build_matches_full_scan():
             np.testing.assert_array_equal(getattr(got2, a), getattr(ref, a))
 
 
+def test_find_overlaps_pre_scan_reuse_identical():
+    """find_overlaps' memo-scan reuse for queries (host path) must produce
+    exactly the rows of the from-scratch query scan."""
+    from bossruns_tpu.aeons.ava import find_overlaps
+
+    rng = np.random.default_rng(23)
+    pool = _random_pool(rng, n=30, lo=3000, hi=9000, with_n=False)
+    new = {f"n{i}": s for i, s in enumerate(list(_random_pool(
+        rng, n=10, lo=3000, hi=9000, with_n=False).values()))}
+    # warm path: queries are members of the indexed pool (the ingest_ava
+    # shape) so their scans are memoised by the index build
+    _SEQ_SCAN_CACHE.clear()
+    pidx_warm = PoolIndex(dict(pool, **new))
+    rows_warm = find_overlaps(new, pidx_warm, host=True)
+    # cold path: force memo misses for the queries -> batch-scan fallback
+    _SEQ_SCAN_CACHE.clear()
+    pidx_cold = PoolIndex(dict(pool, **new))
+    for q in new.values():  # evict ONLY the query entries
+        _SEQ_SCAN_CACHE.pop((hash(q), len(q), 15, 10), None)
+    rows_cold = find_overlaps(new, pidx_cold, host=True)
+    assert rows_warm.keys() == rows_cold.keys()
+    for f in rows_warm:
+        assert rows_warm[f] == rows_cold[f], f"field {f} differs"
+
+
 def test_scan_memo_returns_same_arrays():
     s = "".join(BASES[np.random.default_rng(0).integers(0, 4, 500)])
     a = scan_seq_minimizers(s)
