@@ -112,11 +112,12 @@ def make_aligner(layout: "GenomeLayout", backend: str = "auto",
     if backend == "host" or int(layout.lengths.sum()) <= host_max_sites:
         from .cpu_baseline import CpuAligner
 
-        # threads at the core count: measured throughput is flat from
-        # cores-1 to cores+2 on a 4-core host while a fixed 8 loses ~15%
-        # to oversubscription (numpy sections release the GIL, the record
-        # assembly does not)
-        kw.setdefault("threads", max(2, os.cpu_count() or 4))
+        # threads at the core count, capped at 16: measured throughput is
+        # flat from cores-1 to cores+2 on a 4-core host while a fixed 8
+        # loses ~15% to oversubscription; the GIL-bound record-assembly
+        # section means very wide pools (64-128 cores) can regress, so cap
+        # until measured on a many-core host (ADVICE r4)
+        kw.setdefault("threads", max(2, min(os.cpu_count() or 4, 16)))
         return CpuAligner(layout, **kw)
     return TpuAligner(layout, **kw)
 

@@ -54,8 +54,13 @@ def _batch_minimizers(enc_reads: list[np.ndarray], k: int, w: int, budget: int):
     concat = np.full(total, 4, np.int8)
     for s, e in zip(starts, enc_reads):
         concat[s : s + e.shape[0]] = e
-    canonical, strand, h, _ok = _kmer_scan_arrays(concat, k)
-    sel = minimizer_mask(h, w) & (h != np.int32(2**31 - 1))
+    canonical, strand, h, ok = _kmer_scan_arrays(concat, k)
+    # selection predicate is `ok & window-min` — the SAME predicate as the
+    # device kernel (seed.py: is_min = valid & (h == m2)) and the memoised
+    # scans (index._scan_codes), so all three paths are equivalent by
+    # construction even for the p~2^-31 valid k-mer whose hash collides with
+    # INVALID_HASH (ADVICE r4)
+    sel = minimizer_mask(h, w) & ok
     pos = np.flatnonzero(sel)
     rid = np.searchsorted(starts, pos, side="right") - 1
     qpos = pos - starts[rid]

@@ -19,6 +19,7 @@ repetitive-seed filtering.
 from __future__ import annotations
 
 import dataclasses
+import logging
 
 import numpy as np
 from scipy.ndimage import minimum_filter1d
@@ -246,14 +247,35 @@ def build_index(
     )
 
 
-#: per-sequence minimizer-scan memo: (str hash, len, k, w) -> (keys, local
-#: positions, strands). AEONS rebuilds its pool index every batch over a
-#: mostly-unchanged sequence set; the scan (k-mer pass + window minima) is
+#: per-sequence minimizer-scan memo: (content digest, len, k, w) -> (keys,
+#: local positions, strands). AEONS rebuilds its pool index every batch over
+#: a mostly-unchanged sequence set; the scan (k-mer pass + window minima) is
 #: the dominant rebuild cost and is identical batch to batch per sequence,
-#: so it is computed once per sequence value. Bounded: oldest half evicted
-#: when full (reads leave the pool as they are merged into unitigs).
+#: so it is computed once per sequence value. LRU-bounded: hits refresh an
+#: entry's recency and the least-recently-used half is evicted when full, so
+#: long-lived pool sequences survive churn from transient reads.
 _SEQ_SCAN_CACHE: dict[tuple, tuple] = {}
 _SEQ_SCAN_MAX = 8192
+_memo_evictions = 0
+
+
+def _digest(data: bytes) -> bytes:
+    """128-bit content digest for memo keys. Python's process-seeded hash()
+    was rejected (ADVICE r4): a 64-bit collision between distinct same-length
+    sequences would silently return the wrong scan; blake2b-128 makes the
+    collision probability cryptographically negligible at equal key size."""
+    import hashlib
+
+    return hashlib.blake2b(data, digest_size=16).digest()
+
+
+def _memo_get(memo_key: tuple):
+    """LRU hit: move the entry to the recent end so pool-resident sequences
+    outlive transient ones (plain dicts preserve insertion order)."""
+    hit = _SEQ_SCAN_CACHE.pop(memo_key, None)
+    if hit is not None:
+        _SEQ_SCAN_CACHE[memo_key] = hit
+    return hit
 
 
 def scan_seq_minimizers(seq: str, k: int = K, w: int = W):
@@ -266,8 +288,8 @@ def scan_seq_minimizers(seq: str, k: int = K, w: int = W):
     window-minimum edge clamping matches — pinned bit-identical against the
     concat scan in tests/test_pool_index_cache.py.
     """
-    memo_key = (hash(seq), len(seq), k, w)
-    hit = _SEQ_SCAN_CACHE.get(memo_key)
+    memo_key = (_digest(seq.encode()), len(seq), k, w)
+    hit = _memo_get(memo_key)
     if hit is not None:
         return hit
     from . import encode
@@ -309,7 +331,13 @@ def _scan_uncached_bulk(seqs: list[str], keys: list[tuple], k: int, w: int) -> N
 
 
 def _memo_put(memo_key: tuple, out: tuple) -> None:
+    global _memo_evictions
     if len(_SEQ_SCAN_CACHE) >= _SEQ_SCAN_MAX:
+        if _memo_evictions == 0:
+            logging.getLogger("boss_tpu").info(
+                f"minimizer-scan memo full ({_SEQ_SCAN_MAX}); evicting LRU half"
+            )
+        _memo_evictions += 1
         for old in list(_SEQ_SCAN_CACHE)[: _SEQ_SCAN_MAX // 2]:
             del _SEQ_SCAN_CACHE[old]
     _SEQ_SCAN_CACHE[memo_key] = out
@@ -345,8 +373,8 @@ def build_index_layout(layout, k: int = K, w: int = W, max_occ: int = MAX_OCC) -
     keys_l, pos_l, strand_l = [], [], []
     for off, ln in zip(offs, lens):
         codes = np.ascontiguousarray(layout.seq_int[off : off + ln]).astype(np.int8)
-        memo_key = (hash(codes.tobytes()), int(ln), k, w, "layout")
-        hit = _SEQ_SCAN_CACHE.get(memo_key)
+        memo_key = (_digest(codes.tobytes()), int(ln), k, w, "layout")
+        hit = _memo_get(memo_key)
         if hit is None:
             hit = _scan_codes(codes, k, w)
             _memo_put(memo_key, hit)
@@ -374,16 +402,16 @@ def build_index_cached(
     from per-sequence memoised scans (scan_seq_minimizers). starts must be
     ascending (concat order) so that within-key position order matches
     build_index on the real concatenation bit for bit."""
-    memo_keys = [(hash(s), len(s), k, w) for s in seqs]
+    memo_keys = [(_digest(s.encode()), len(s), k, w) for s in seqs]
     fresh = {}
     for s, mk in zip(seqs, memo_keys):
-        if mk not in _SEQ_SCAN_CACHE:
+        if _memo_get(mk) is None:
             fresh[mk] = s  # dedupes repeated values within the batch
     if fresh:
         _scan_uncached_bulk(list(fresh.values()), list(fresh.keys()), k, w)
     keys_l, pos_l, strand_l = [], [], []
     for mk, st, s in zip(memo_keys, starts, seqs):
-        hit = _SEQ_SCAN_CACHE.get(mk)
+        hit = _memo_get(mk)
         if hit is None:  # evicted mid-build (pool larger than the memo cap)
             hit = scan_seq_minimizers(s, k, w)
         ky, po, sd = hit

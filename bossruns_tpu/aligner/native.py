@@ -29,13 +29,26 @@ _EXPECTED_SYMS = (
 
 
 def _build() -> bool:
+    """Compile to a per-pid temp name, then os.rename into place: atomic on
+    the same filesystem, so a concurrent process that dlopen()s mid-build
+    sees either the old library or the new one — never a partial write
+    (ADVICE r4: `make -B` wrote the .so in place)."""
+    import os
+
+    tmp = _NATIVE_DIR / f"libbossnative.tmp{os.getpid()}.so"
     try:
         subprocess.run(
-            ["make", "-B", "-C", str(_NATIVE_DIR)], check=True, capture_output=True
+            ["make", "-B", "-C", str(_NATIVE_DIR), f"OUT={tmp.name}"],
+            check=True, capture_output=True,
         )
+        os.rename(tmp, _LIB_PATH)
         return True
     except Exception as e:  # noqa: BLE001
         logger.info(f"native build failed ({e}); using numpy fallback aligner")
+        try:
+            tmp.unlink(missing_ok=True)
+        except OSError:
+            pass
         return False
 
 

@@ -50,6 +50,35 @@ def _atomic_np_write(cache: Path, saver) -> None:
     tmp.rename(cache)
 
 
+def materialize_gz(path: str | Path) -> str:
+    """Return a plain-file path for a possibly-gzipped source.
+
+    The reference streams gz sources through GzipFile-over-mmap with
+    decompressed-stream offsets (/root/reference/boss/sampler.py:75-116),
+    paying a full re-decompress per seek. Here a `.gz` source is inflated
+    ONCE to a cached sidecar (`<src>.decompressed.fq`, atomic rename,
+    size-stamped against the gz file) and the sampler mmaps the plain file —
+    same sampling semantics, O(1) seeks, madvise prefetch kept.
+    """
+    p = Path(path)
+    if p.suffix != ".gz":
+        return str(p)
+    side = Path(f"{p}.decompressed.fq")
+    if _cache_fresh(p, side):
+        return str(side)
+    import gzip
+    import os
+    import shutil
+
+    tmp = side.with_name(f"{side.name}.tmp{os.getpid()}")
+    with gzip.open(p, "rb") as src, open(tmp, "wb") as dst:
+        shutil.copyfileobj(src, dst, length=1 << 22)
+    tmp.rename(side)
+    _stamp_cache(p, side)
+    logger.info(f"decompressed gz source {p} -> {side}")
+    return str(side)
+
+
 def scan_fastq_offsets(path: str | Path) -> np.ndarray:
     """Byte offset of every 4-line fastq record (cached as .offsets.npy)."""
     cache = Path(f"{path}.offsets.npy")
@@ -82,8 +111,8 @@ class FastqStream:
         seed: int = 1,
         shuffle: bool = False,
     ):
-        self.source = source
-        offsets = scan_fastq_offsets(source)
+        self.source = materialize_gz(source)
+        offsets = scan_fastq_offsets(self.source)
         if seed == 0:
             seed = np.random.randint(1_000_000)
         if shuffle:

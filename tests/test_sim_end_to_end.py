@@ -44,6 +44,34 @@ def test_sim_runs_and_writes_strategies(corpus, tmp_path):
     assert sim.rl_dist.lam != 6000.0
 
 
+def test_sim_sampling_from_gz_source(corpus, tmp_path):
+    """A `.gz` fastq source samples identically to the plain file
+    (reference capability: /root/reference/boss/sampler.py:75-116)."""
+    import gzip
+    import shutil
+
+    from bossruns_tpu.io.sampler import FastqStream, Sampler
+
+    gz = tmp_path / "reads.fq.gz"
+    with open(corpus["fq"], "rb") as src, gzip.open(gz, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+
+    plain = FastqStream(corpus["fq"], batchsize=50, maxbatch=3, seed=4, shuffle=True)
+    zipped = FastqStream(str(gz), batchsize=50, maxbatch=3, seed=4, shuffle=True)
+    for _ in range(3):
+        plain.read_batch()
+        zipped.read_batch()
+        assert zipped.read_sequences == plain.read_sequences
+        assert zipped.read_qualities == plain.read_qualities
+        assert zipped.read_barcodes == plain.read_barcodes
+
+    # full facade path (what BossRunsSim constructs) accepts the gz source
+    s = Sampler(str(gz), corpus["paf_full"], corpus["paf_trunc"],
+                batchsize=50, maxbatch=1)
+    seqs, _, _, paf_f, paf_t = s.sample()
+    assert len(seqs) == 50 and paf_f and paf_t
+
+
 def test_sim_rejections_reduce_boss_time(corpus, tmp_path):
     sim = BossRunsSim(
         ref=corpus["ref"],
