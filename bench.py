@@ -374,38 +374,50 @@ def section_aeons():
     rng = np.random.default_rng(5)
     ccl, lam = sim.rl_dist.approx_ccl, sim.rl_dist.lam
 
-    def strat_pair(n_contigs):
+    def strat_triple(n_contigs):
         pool = {f"u{j}": _C(200_000, rng) for j in range(n_contigs)}
-        contig_strategies(pool, ccl=ccl, lam=lam)  # compile
-        dev_t, cpu_t = [], []
+        out = {}
+        for backend in ("auto", "device"):
+            contig_strategies(pool, ccl=ccl, lam=lam, backend=backend)  # warm
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                contig_strategies(pool, ccl=ccl, lam=lam, backend=backend)
+                ts.append(time.perf_counter() - t0)
+            out[backend] = float(np.median(ts)) * 1000.0
+        ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            contig_strategies(pool, ccl=ccl, lam=lam)
-            dev_t.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
             _aeons_strategy_numpy(pool, ccl, lam)
-            cpu_t.append(time.perf_counter() - t0)
-        return (float(np.median(dev_t)) * 1000.0,
-                float(np.median(cpu_t)) * 1000.0)
+            ts.append(time.perf_counter() - t0)
+        out["cpu"] = float(np.median(ts)) * 1000.0
+        return out
 
-    # two scales: 8 Mb (a small mock community; the ~33 ms tunnel round trip
-    # is most of the device time) and 40 Mb (a real metagenome pool, where
-    # the per-site work dominates and the device kernel pulls ahead)
-    dev8_ms, cpu8_ms = strat_pair(40)
-    dev40_ms, cpu40_ms = strat_pair(200)
+    # two scales: 8 Mb (a small mock community) and 40 Mb (a real metagenome
+    # pool). `auto` is the PRODUCTION path (measured-fit dispatch,
+    # aeons/benefit.py HOST_MAX_CHUNKS — currently the per-contig host
+    # kernel at both scales); cpu is the reference-equivalent f64 numpy
+    # move_sum pipeline; device is the TPU kernel kept for loaded-host
+    # deployments.
+    s8 = strat_triple(40)
+    s40 = strat_triple(200)
     emit({
         "metric": "aeons_batch_p50_latency",
         "value": round(p50 * 1000.0, 1),
         "unit": "ms",
-        "vs_baseline": round(cpu40_ms / dev40_ms, 2),
+        "vs_baseline": round(s40["cpu"] / s40["auto"], 2),
         "detail": {"reads_per_batch": 500,
                    "n_contigs": len(sim.strat),
                    "shape_warmed": warmed,
                    "stage_p50_ms": stage_p50,
-                   "strategy_8mb_device_ms": round(dev8_ms, 1),
-                   "strategy_8mb_cpu_ms": round(cpu8_ms, 1),
-                   "strategy_40mb_device_ms": round(dev40_ms, 1),
-                   "strategy_40mb_cpu_ms": round(cpu40_ms, 1),
+                   "strategy_8mb_production_ms": round(s8["auto"], 1),
+                   "strategy_8mb_cpu_ms": round(s8["cpu"], 1),
+                   "strategy_8mb_device_ms": round(s8["device"], 1),
+                   "strategy_40mb_production_ms": round(s40["auto"], 1),
+                   "strategy_40mb_cpu_ms": round(s40["cpu"], 1),
+                   "strategy_40mb_device_ms": round(s40["device"], 1),
+                   "dispatch": "host (measured-fit; wins every scale on an"
+                               " idle host — see aeons/benefit.py)",
                    # end-to-end baseline boundary: the reference's AEONS
                    # batch shells out to minimap2/miniasm/gfatools (C
                    # subprocesses, not installable here), so no honest
@@ -432,8 +444,12 @@ def section_scale():
 def section_conformance():
     """Engine (quirk mode) vs the bug-compatible reference oracle on the
     zymo-like corpus (9 contigs / 12.6 Mb): decision-level parity at
-    realistic scale, reported as a mask-agreement fraction."""
-    from bossruns_tpu.conformance import drive_zymo_conformance
+    realistic scale, reported as a mask-agreement fraction — PLUS the
+    full-data-plane drive (production BossRunsSim: sample -> decide ->
+    CIGAR -> device coverage -> mask vs the oracle fed from the same PAF
+    records), whose coverage comparison is bit-exact."""
+    from bossruns_tpu.conformance import (drive_dataplane_conformance,
+                                          drive_zymo_conformance)
 
     out = drive_zymo_conformance(n_batches=2, reads_per_batch=12_000)
     emit({
@@ -445,8 +461,25 @@ def section_conformance():
                    "exact_vs_drift_free_oracle": out["exact_vs_drift_free"],
                    "n_contigs": out["n_contigs"],
                    "n_sites": out["n_sites"],
-                   "any_on": out["any_on"]},
+                   "any_on": out["any_on"],
+                   "residual_unexplained_frac": round(
+                       out["residual_unexplained_frac"], 6)},
     })
+    if remaining() > 240:
+        dp = drive_dataplane_conformance(
+            n_batches=2, reads_per_batch=8000, work_dir=CACHE / "dpc")
+        emit({
+            "metric": "conformance_dataplane",
+            "value": round(dp["min_agreement"], 6),
+            "unit": "fraction",
+            "vs_baseline": None,
+            "detail": {"coverage_exact": dp["coverage_exact"],
+                       "per_batch": [round(a, 6) for a in dp["per_batch"]],
+                       "n_sites": dp["n_sites"],
+                       "any_on": dp["any_on"],
+                       "residual_unexplained_frac": round(
+                           dp["residual_unexplained_frac"], 6)},
+        })
 
 
 SECTIONS = {
@@ -465,7 +498,7 @@ SECTION_EST = {
     "sim_batch": (210, 600),
     "aeons_batch": (300, 900),
     "scale": (210, 700),
-    "conformance": (330, 600),
+    "conformance": (480, 900),
 }
 #: seconds reserved at the end for the final headline re-print
 RESERVE = 20

@@ -240,7 +240,7 @@ def initial_assembly(reads: dict[str, str], min_seq_len: int = 3000,
         return SequencePool(min_len=min_seq_len)
     store = LinkStore(tetra=False)
     pidx = PoolIndex(pool.seqdict())
-    rec = rows_to_records(find_overlaps(pool.seqdict(), pidx, min_votes=min_votes))
+    rec = rows_to_records(find_overlaps(pool.seqdict(), pidx, min_votes=min_votes, merge=True))
     containments, _ovl = store.load_records(rec, pool)
     contained = pool.increment(containments)
     store.remove_links(contained)

@@ -66,9 +66,15 @@ class PoolIndex:
 # persistently-cached one still costs tens of seconds per process on this
 # toolchain). Two coarse length buckets + a 256-row floor keep an entire
 # AEONS experiment within a handful of executables; the extra padded compute
-# is noise next to the index-sized sort-join.
-AVA_BUCKETS = (8192, 32768)
+# is noise next to the index-sized sort-join. The 131072 bucket is
+# HOST-ONLY (> AVA_DEVICE_MAX): ultralong reads keep their full length and
+# anchor set there instead of being silently truncated to 32 kb — the
+# vectorised host path has no compiled-shape constraint.
+AVA_BUCKETS = (8192, 32768, 131072)
+AVA_DEVICE_MAX = 32768
 ROW_FLOOR = 256
+#: host anchor-slot cap for the ultralong bucket (~2.2*L/(w+1) at 131 kb)
+ULTRALONG_BUDGET = 1 << 15
 
 
 def _bucketize(enc: list[np.ndarray]):
@@ -135,22 +141,31 @@ def find_overlaps(
     qname_arr = np.array(qnames, dtype=object)
     name_arr = np.array(pool_index.names, dtype=object)
     for L, group in _bucketize(enc):
-        if host:
+        # the ultralong bucket is host-only: device seeding shapes are a
+        # compiled-cost knob, and truncating 100 kb reads to 32 kb turned
+        # their dovetails into internal matches (round-5 fix)
+        use_host = host or L > AVA_DEVICE_MAX
+        if use_host:
             # reuse memoised minimizer scans when available (new reads were
             # just scanned for the pool index build): same anchors, skips
             # the per-query k-mer/window re-scan. Truncated reads (> L) and
             # memo misses fall back to the batch scan.
-            from ..aligner.index import _SEQ_SCAN_CACHE
+            from ..aligner.index import _digest, _memo_get
+            from ..aligner.seed import anchor_budget
 
             w = pool_index.host.w
+            budget = (anchor_budget(L, w, cap=ULTRALONG_BUDGET)
+                      if L > AVA_DEVICE_MAX else None)
             scans = [
-                _SEQ_SCAN_CACHE.get((hash(queries[qnames[g]]), enc[g].shape[0], k, w))
+                _memo_get((_digest(queries[qnames[g]].encode()),
+                           enc[g].shape[0], k, w))
                 if enc[g].shape[0] <= L else None
                 for g in group
             ]
             cands = host_seed_candidates(
                 [enc[g][:L] for g in group], pool_index.host, ncand=ncand, L=L,
                 pre_scans=scans if all(s is not None for s in scans) else None,
+                budget=budget,
             )
             cands = {f: np.asarray(v) for f, v in cands.items()}
         else:
@@ -201,19 +216,28 @@ def find_overlaps(
     return merge_chains(rows) if merge else rows
 
 
-def merge_chains(rows: dict[str, list], slope_tol: float = 0.03) -> dict[str, list]:
-    """Merge split diagonal clusters of the same (query, target, strand).
+def merge_chains(rows: dict[str, list], slope_tol: float = 0.03,
+                 max_gap: int = 5000) -> dict[str, list]:
+    """Merge split diagonal clusters of the same (query, target, strand)
+    into one chain — minimap2-style bounded gap/drift joining.
 
-    Indel drift fragments chains of long overlaps (> ~30 kb) into multiple
-    clusters; two clusters whose diagonals differ by less than slope_tol of
-    the joined span belong to one alignment — union the spans and sum the
-    chain weights (minimap2's chaining does this natively).
+    Indel drift fragments chains of long overlaps (> ~30 kb of accumulated
+    drift) into multiple clusters (/root/reference relies on minimap2's
+    chain merging here, boss/aeons/sequences.py:538-563). Two clusters
+    belong to one alignment iff ALL of:
 
-    OFF by default for the assembly ava: measured on synthetic pools, the
-    larger merged spans reclassify dovetails into containments/internal
-    matches and stall unitig growth (longest contig 27 kb vs 95 kb without
-    merging at batch 3). Useful for whole-sequence mapping checks where full
-    query coverage matters.
+      * collinear: diagonals within max(256, slope_tol * joined span) —
+        drift grows with span;
+      * query-adjacent: the q gap between them is <= max_gap and they do
+        not overlap by more than half the shorter fragment;
+      * target-adjacent: same bound on the t gap (orientation-aware).
+
+    The adjacency conditions are what round 4's diagonal-only merge lacked:
+    without them, co-diagonal repeat clusters of the SAME pair fused into
+    inflated spans that reclassified dovetails into containments and
+    stalled unitig growth. With them, only true fragments of one alignment
+    join, so the merge is safe for the assembly ava (enabled there since
+    round 5) and a no-op for short reads.
     """
     n = len(rows["qname"])
     if n == 0:
@@ -236,11 +260,21 @@ def merge_chains(rows: dict[str, list], slope_tol: float = 0.03) -> dict[str, li
                 if cand["rev"]:
                     d_prev = prev["tend"] + prev["qstart"]
                     d_cand = cand["tend"] + cand["qstart"]
+                    gap_t = prev["tstart"] - cand["tend"]
                 else:
                     d_prev = prev["tstart"] - prev["qstart"]
                     d_cand = cand["tstart"] - cand["qstart"]
+                    gap_t = cand["tstart"] - prev["tend"]
+                gap_q = cand["qstart"] - prev["qend"]
+                shorter = min(prev["qend"] - prev["qstart"],
+                              cand["qend"] - cand["qstart"])
                 span = max(prev["qend"], cand["qend"]) - min(prev["qstart"], cand["qstart"])
-                if abs(d_prev - d_cand) <= max(256, slope_tol * span):
+                collinear = abs(d_prev - d_cand) <= max(256, slope_tol * span)
+                adjacent = (
+                    -shorter // 2 <= gap_q <= max_gap
+                    and -shorter // 2 <= gap_t <= max_gap
+                )
+                if collinear and adjacent:
                     prev["qstart"] = min(prev["qstart"], cand["qstart"])
                     prev["qend"] = max(prev["qend"], cand["qend"])
                     prev["tstart"] = min(prev["tstart"], cand["tstart"])

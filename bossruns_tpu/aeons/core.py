@@ -112,7 +112,7 @@ class BossAeons:
         if len(target) < 2:
             return
         pidx = PoolIndex(target)
-        rec = rows_to_records(find_overlaps(new_pool.seqdict(), pidx))
+        rec = rows_to_records(find_overlaps(new_pool.seqdict(), pidx, merge=True))
         containments, overlappers = self.store.load_records(rec, self.pool)
         if increment:
             contained = self.pool.increment(containments)
@@ -127,7 +127,7 @@ class BossAeons:
         if len(contigs.sequences) < 2:
             return
         pidx = PoolIndex(contigs.seqdict())
-        rec = rows_to_records(find_overlaps(contigs.seqdict(), pidx))
+        rec = rows_to_records(find_overlaps(contigs.seqdict(), pidx, merge=True))
         containments, overlappers = self.store.load_records(rec, self.pool)
         contained = self.pool.increment(containments)
         if contained:
@@ -142,7 +142,7 @@ class BossAeons:
         trimmed = self.pool.trim_sequences(trim_dict)
         if len(trimmed) >= 2:
             pidx = PoolIndex(self.pool.seqdict())
-            rec = rows_to_records(find_overlaps(trimmed, pidx))
+            rec = rows_to_records(find_overlaps(trimmed, pidx, merge=True))
             containments, _ = self.store.load_records(rec, self.pool)
             self.pool.increment(containments)
         to_remove = self.store.trim_success(trim_dict)

@@ -159,36 +159,31 @@ def _sorted_segments(rid, space, diag, qpos, gpos, n_reads: int, cw: int):
     return rid, space, diag, qpos, gpos, seg, comp
 
 
-def _votes(comp, tol: int):
-    """votes[i] = #anchors in i's segment within tol of i's diagonal.
+def _votes(seg, diag, tol: int):
+    """votes[i] = anchors in i's segment sharing i's best staggered
+    diagonal bucket (width 2*tol, offsets 0 and tol) — run-length counts
+    over the (seg, diag)-sorted anchors.
 
-    Native two-pointer sweep over the sorted composite keys when built
-    (replaces two n-log-n searchsorted passes on the seeding critical
-    path); the NumPy form below is the executable spec (pinned equal in
-    tests/test_native_host.py)."""
-    from . import native as native_mod
+    MUST count elementwise-identically to the device kernel's bucket vote
+    (seed.py::_vote; pinned in tests/test_host_seed.py): both sides
+    partition with the same floor divide over raw diagonals, so the grids
+    coincide for any tol. Replaced the exact +-tol window counts in round 5
+    together with the device side (the device's exact form needed a 3n-wide
+    sort per call — its dominant cost)."""
 
-    lib = native_mod._load()
-    if lib and hasattr(lib, "seed_votes_c") and comp.shape[0]:
-        import ctypes
+    def run_counts(b):
+        newrun = np.empty(b.shape[0], bool)
+        newrun[0] = True
+        np.not_equal(b[1:], b[:-1], out=newrun[1:])
+        starts = np.flatnonzero(newrun)
+        lens = np.diff(np.append(starts, b.shape[0]))
+        return np.repeat(lens, lens)
 
-        if not hasattr(lib, "_votes_ready"):
-            lib.seed_votes_c.restype = None
-            lib.seed_votes_c.argtypes = [
-                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
-            ]
-            lib._votes_ready = True
-        out = np.empty(comp.shape[0], np.int64)
-        c = np.ascontiguousarray(comp, np.int64)
-        lib.seed_votes_c(
-            c.ctypes.data_as(ctypes.c_void_p), np.int64(c.shape[0]),
-            np.int64(tol), out.ctypes.data_as(ctypes.c_void_p),
-        )
-        return out
-    return (
-        np.searchsorted(comp, comp + tol, side="right")
-        - np.searchsorted(comp, comp - tol - 1, side="right")
-    ).astype(np.int64)
+    width = 2 * tol
+    m = np.int64(1) << 40
+    c0 = run_counts(seg * m + diag // width)
+    c1 = run_counts(seg * m + (diag + tol) // width)
+    return np.maximum(c0, c1).astype(np.int64)
 
 
 def _seg_tables(seg, values, n_reads: int, fill):
@@ -317,7 +312,7 @@ def host_seed_topn(enc_reads: list[np.ndarray], index: MinimizerIndex,
     rid, space, diag, qpos, gpos, seg, comp = _sorted_segments(
         rid, space, diag, qpos, gpos, n_reads, cw
     )
-    votes = _votes(comp, tol)
+    votes = _votes(seg, diag, tol)
     work = votes.copy()
     pos_idx = np.arange(comp.shape[0], dtype=np.int64)
     for c in range(ncand):
@@ -358,19 +353,25 @@ def host_seed_candidates(enc_reads: list[np.ndarray], index: MinimizerIndex,
                          ncand: int = 4, tol: int | None = None,
                          L: int | None = None,
                          occ_cap: int = OCC_CAP,
-                         pre_scans=None) -> dict[str, np.ndarray]:
+                         pre_scans=None,
+                         budget: int | None = None) -> dict[str, np.ndarray]:
     """Host mirror of seed.py::_seed_candidates_jit (ava-style seeding).
 
     Returns dict of [n, 2*ncand] arrays (votes, strand, qmin, qmax, tmin,
     tmax): per strand space, the top-ncand diagonal clusters (columns
     0..ncand-1 = space 0, ncand..2*ncand-1 = space 1 — the device layout).
+
+    budget: minimizer-slot cap per read; defaults to the device-matched
+    anchor_budget. The ultralong ava path passes a raised cap (the host has
+    no compiled-shape constraint) so 100 kb reads keep all their anchors.
     """
     n_reads = len(enc_reads)
     if L is None:
         L = max((e.shape[0] for e in enc_reads), default=0)
     if tol is None:
         tol = max(DIAG_TOL, L // 32)
-    budget = anchor_budget(max(L, 1), index.w)
+    if budget is None:
+        budget = anchor_budget(max(L, 1), index.w)
     cw = (budget * occ_cap) // 2
     nc2 = 2 * ncand
     out = {f: np.zeros((n_reads, nc2), np.int64)
@@ -384,7 +385,7 @@ def host_seed_candidates(enc_reads: list[np.ndarray], index: MinimizerIndex,
     rid, space, diag, qpos, gpos, seg, comp = _sorted_segments(
         rid, space, diag, qpos, gpos, n_reads, cw
     )
-    votes = _votes(comp, int(tol))
+    votes = _votes(seg, diag, int(tol))
     work = votes.copy()
     pos_idx = np.arange(comp.shape[0], dtype=np.int64)
     all_segs = np.arange(2 * n_reads, dtype=np.int64)

@@ -228,36 +228,41 @@ def _lookup_join(keys, ck, valid):
     return hit, jnp.maximum(out_rank, 0)
 
 
-def _vote(keys_flat, tol=DIAG_TOL):
-    """votes[i] = #anchors within tol of keys_flat[i]; -1 for sentinels.
+def _vote(keys_sorted, tol=DIAG_TOL):
+    """votes[i] = anchors sharing i's best staggered diagonal bucket;
+    -1 for sentinels. keys_sorted MUST be ascending per row (it is: voting
+    runs on the output of the compaction sort).
 
-    Row-wise sort-join instead of vmapped binary searches (gathers are the
-    bottleneck on this TPU): each row sorts (anchor values, +tol queries,
-    -tol queries) together; a cumulative max of carried ranks yields
-    rank(last anchor <= q) per query, and votes = rank(v+tol) - rank(v-tol-1).
-    Diagonals are integers, so "< v-tol" == "<= v-tol-1".
+    Replaces the exact +-tol sort-join (a 3n-wide 3-operand sort per call —
+    the seeding kernel's dominant cost on this element-bound chip, VERDICT
+    r4 #1) with run-length counts over two staggered power-of-two grids of
+    width 2*tol (offsets 0 and tol): any cluster of diameter <= tol is fully
+    contained in a bucket of at least one grid, so compact clusters keep
+    their full count, while the op mix drops to scans + elementwise (no
+    extra sort, no gathers). Cluster extents stay exact (|key - best| <=
+    tol downstream). Counts are elementwise identical to the host mirror
+    (host_seed._votes) by the shared floor-divide partition — pinned in
+    tests/test_host_seed.py.
     """
-    r, n = keys_flat.shape
-    big = jnp.iinfo(jnp.int32).max
-    v = jnp.concatenate([keys_flat, keys_flat + tol, keys_flat - tol - 1], axis=1)
-    tag = jnp.concatenate(
-        [jnp.zeros((r, n), jnp.int32), jnp.ones((r, n), jnp.int32),
-         jnp.ones((r, n), jnp.int32)], axis=1
-    )
-    # slot: where to scatter each query's carried rank (flattened, hi then lo)
-    qslot = jax.lax.broadcasted_iota(jnp.int32, (r, 2 * n), 1) + jax.lax.broadcasted_iota(
-        jnp.int32, (r, 2 * n), 0
-    ) * (2 * n)
-    slot = jnp.concatenate([jnp.full((r, n), big, jnp.int32), qslot], axis=1)
-    sv, stag, sslot = jax.lax.sort((v, tag, slot), num_keys=2, dimension=1)
-    # rank at a query slot = #anchors sorted before it (anchors sort first on
-    # value ties) = running count of anchor entries
-    crank = jnp.cumsum((stag == 0).astype(jnp.int32), axis=1)
-    flat = jnp.zeros(r * 2 * n, jnp.int32).at[sslot.reshape(-1)].set(
-        crank.reshape(-1), mode="drop"
-    ).reshape(r, 2 * n)
-    votes = flat[:, :n] - flat[:, n:]
-    return jnp.where(keys_flat < SENTINEL, votes, -1)
+    r, n = keys_sorted.shape
+    width = 2 * tol
+    idx = jax.lax.broadcasted_iota(jnp.int32, (r, n), 1)
+    big = jnp.int32(n)
+
+    def run_counts(bucket):
+        newrun = jnp.concatenate(
+            [jnp.ones((r, 1), bool), bucket[:, 1:] != bucket[:, :-1]], axis=1
+        )
+        start = jax.lax.cummax(jnp.where(newrun, idx, -1), axis=1)
+        nxt_src = jnp.where(newrun, idx, big)
+        suf_min = jnp.flip(jax.lax.cummin(jnp.flip(nxt_src, 1), axis=1), 1)
+        nxt = jnp.concatenate([suf_min[:, 1:], jnp.full((r, 1), big, jnp.int32)], 1)
+        return nxt - start
+
+    b0 = jnp.floor_divide(keys_sorted, width)
+    b1 = jnp.floor_divide(keys_sorted + tol, width)
+    votes = jnp.maximum(run_counts(b0), run_counts(b1))
+    return jnp.where(keys_sorted < SENTINEL, votes, -1)
 
 
 NCAND = 4  # diagonal clusters peeled per read (multi-mapping candidates)
@@ -365,13 +370,18 @@ def _seed_topn_jit(reads_packed, keys, pos_packed,
     return jnp.stack([f for cand in per_cand for f in cand])
 
 
-def anchor_budget(L: int, w: int) -> int:
+def anchor_budget(L: int, w: int, cap: int = ANCHOR_BUDGET) -> int:
     """Minimizer-slot budget for reads of padded length L: expected density
     is 2/(w+1) positions, so a pow2 just above that (plus slack) loses no
     anchors while keeping the vote sorts ~L/w wide instead of a fixed 1024
-    (the vote sort is the seeding kernel's dominant cost)."""
+    (the vote sort is the seeding kernel's dominant cost).
+
+    cap: device kernels keep the default (budget is a compiled-shape knob);
+    the HOST ava path raises it for ultralong reads (aeons/ava.py) — a
+    100 kb read carries ~20k minimizers, and capping at 1024 silently
+    discarded all but the read's first ~6 kb of anchors."""
     need = int(2.2 * L / (w + 1)) + 16
-    return min(_pow2(need, floor=64), ANCHOR_BUDGET)
+    return min(_pow2(need, floor=64), cap)
 
 
 def seed_and_vote(reads, dev_idx: DeviceIndex, ncand: int = NCAND):

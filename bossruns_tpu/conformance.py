@@ -117,6 +117,7 @@ def drive_zymo_conformance(
     eng = RunsEngine(layout, make_model(ploidy=1),
                      RunsConfig(reference_quirks=True, debug_aux=exact_check))
     qo = ReferenceQuirkOracle(contigs, make_model(ploidy=1))
+    attributed: list[dict] = []
     state = eng.init_state()
     state_np = None
     if exact_check:
@@ -190,13 +191,28 @@ def drive_zymo_conformance(
             ])
             qo.increment(name, ppos, psym.astype(np.int64))
         qo.count_read_starts(starts_fwd, starts_rev)
-        masks_o = qo.step(CCL, TIME_COST)
+        masks_o, masks_df = qo.step(CCL, TIME_COST, also_drift_free=True)
         masks_e = eng.strat_dict(state)
         agree = np.concatenate([
             (masks_e[n] == masks_o[n][: masks_e[n].shape[0]]).ravel()
             for n in masks_e
         ])
         agreements.append(float(agree.mean()))
+        # POSITIVE residual attribution (VERDICT r4 #6): the predicted
+        # Q3/Q3b set is where the quirk oracle disagrees with its own
+        # drift-free twin (identical scores/benefits, layout removed). Any
+        # observed engine-vs-quirk disagreement OUTSIDE that set is
+        # unexplained by the layout drift.
+        obs = unexpl = 0
+        for n in masks_e:
+            rows = masks_e[n].shape[0]
+            d_obs = masks_e[n] != masks_o[n][:rows]
+            d_pred = masks_df[n][:rows] != masks_o[n][:rows]
+            obs += int(d_obs.sum())
+            unexpl += int((d_obs & ~d_pred).sum())
+        attributed.append({"observed": obs, "unexplained": unexpl})
+    total_obs = sum(a["observed"] for a in attributed)
+    total_unexpl = sum(a["unexplained"] for a in attributed)
     return {
         "agreement": agreements[-1],
         "per_batch": agreements,
@@ -207,4 +223,183 @@ def drive_zymo_conformance(
         "n_sites": int(layout.lengths.sum()),
         "n_contigs": len(layout.names),
         "reads_per_batch": reads_per_batch,
+        # residual attribution: fraction of engine-vs-quirk disagreements NOT
+        # inside the positively predicted Q3/Q3b drift set
+        "residual_observed": total_obs,
+        "residual_unexplained": total_unexpl,
+        "residual_unexplained_frac": (
+            total_unexpl / total_obs if total_obs else 0.0
+        ),
+        "residual_per_batch": attributed,
     }
+
+
+def drive_dataplane_conformance(
+    n_batches: int = 2,
+    reads_per_batch: int = 6000,
+    mean_len: float = 3500.0,
+    seed: int = 11,
+    lengths: dict[str, int] | None = None,
+    ploidy: int = 1,
+    barcoded: bool = False,
+    work_dir=None,
+) -> dict:
+    """Conformance through the REAL data plane at scale (VERDICT r4 #2).
+
+    Unlike drive_zymo_conformance (which injects synthetic per-base
+    observations), this drives the production ``BossRunsSim`` end to end —
+    sample -> in-silico ReadUntil decide -> CIGAR expansion (native C) ->
+    device coverage scatter -> scores -> mask — over a ground-truthed corpus
+    (utils/datagen), and feeds the ReferenceQuirkOracle from the SAME
+    decided PAF records through the independent NumPy expansion
+    (io.paf.alignment_coverage). Matches the reference's own conformance
+    tier (/root/reference/tests/base/test_runs_simulation.py:47-74 on
+    zymo.fa + ERR3152366), parametrised over ploidy and barcodes like
+    test_runs_core.py:12 / test_runs_sequences.py:9-23.
+
+    Asserts two levels:
+      * coverage_exact — the engine's device coverage equals the oracle's
+        np.add.at coverage BIT-FOR-BIT per contig (the data plane has no
+        tolerance: offsets, strands, barcodes, trunc records, quirk-Q2
+        slices must all agree),
+      * mask agreement vs the bug-compatible oracle (the Q3/Q3b layout
+        drift is the only expected residual).
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from .io.paf import alignment_coverage
+    from .models.runs_sim import BossRunsSim
+    from .ops.model import make_model as _mk
+    from .utils.datagen import write_corpus
+
+    lengths = lengths or ZYMO_LIKE_LENGTHS
+    tmp = Path(work_dir) if work_dir else Path(tempfile.mkdtemp(prefix="boss_dpc_"))
+    own_tmp = work_dir is None
+    try:
+        bcs = [1, 2] if barcoded else None
+        paths = write_corpus(
+            tmp / "corpus", rng=np.random.default_rng(seed),
+            contig_lengths=lengths, n_reads=reads_per_batch * (n_batches + 1),
+            mean_len=mean_len, barcodes=bcs,
+        )
+        sim = BossRunsSim(
+            ref=paths["ref"], fq=paths["fq"], paf_full=paths["paf_full"],
+            paf_trunc=paths["paf_trunc"], name="dpc",
+            batchsize=reads_per_batch, maxb=n_batches, out_base=tmp,
+            barcodes=["barcode01", "barcode02"] if barcoded else None,
+            ploidy=ploidy, reference_quirks=True, gated=False,
+        )
+        model = _mk(ploidy=ploidy)
+        contigs_int = {
+            n: np.frombuffer(s.encode(), np.uint8) for n, s in
+            ((nm, sq) for nm, sq in _load_contig_strings(paths["ref"]).items())
+        }
+        enc = np.zeros(256, np.uint8)
+        for i, b in enumerate(b"ACGT"):
+            enc[b] = i
+        contigs_int = {n: enc[v] for n, v in contigs_int.items()}
+        nb = 2 if barcoded else 1
+        qo = ReferenceQuirkOracle(contigs_int, model, nb=nb)
+
+        # capture each batch's decided record set as the sim makes it
+        captured: dict = {}
+        orig_make = sim.make_decisions
+
+        def capturing_make(seqs, full, trunc, read_bc):
+            full2, trunc2, outc = orig_make(seqs, full, trunc, read_bc)
+            captured.update(seqs=seqs, full=full2, trunc=trunc2, outc=outc,
+                            read_bc=read_bc)
+            return full2, trunc2, outc
+
+        sim.make_decisions = capturing_make
+
+        agreements, cov_exact, attributed = [], [], []
+        for _b in range(n_batches):
+            sim.process_batch()
+            seqs, full, trunc = captured["seqs"], captured["full"], captured["trunc"]
+            outc, read_bc = captured["outc"], captured["read_bc"]
+            # quirk-Q2 trunc slices exactly as the sim applies them
+            trunc_seqs = dict(outc.reads_decision)
+            for kind, i in outc.cov_rows:
+                if kind == "trunc" and trunc.rev[i]:
+                    rid = trunc.qname[i]
+                    trunc_seqs[rid] = seqs[rid][-sim.mu:]
+            # oracle coverage from the same records, independent expansion
+            per_contig: dict[str, list] = {}
+            for kind, i in outc.cov_rows:
+                rec = full if kind == "full" else trunc
+                rid = rec.qname[i]
+                seq = seqs[rid] if kind == "full" else trunc_seqs[rid]
+                ts, te, symv, _q = alignment_coverage(rec, i, seq, "")
+                per_contig.setdefault(rec.tname[i], []).append(
+                    (ts, te, symv, read_bc.get(rid, 0)))
+            for name, chunks in per_contig.items():
+                pos = np.concatenate([np.arange(ts, te) for ts, te, _s, _b2 in chunks])
+                sym = np.concatenate([s for _t, _e, s, _b2 in chunks]).astype(np.int64)
+                bc = np.concatenate([
+                    np.full(te - ts, b2, np.int64) for ts, te, _s, b2 in chunks
+                ])
+                qo.increment(name, pos, sym, bc)
+            # read starts from accepted full records (fwd tstart / rev tend)
+            starts_fwd: dict[str, list] = {}
+            starts_rev: dict[str, list] = {}
+            for i in outc.acc_rows:
+                t = full.tname[i]
+                if full.rev[i]:
+                    starts_rev.setdefault(t, []).append(int(full.tend[i]))
+                else:
+                    starts_fwd.setdefault(t, []).append(int(full.tstart[i]))
+            qo.count_read_starts(starts_fwd, starts_rev)
+            masks_o, masks_df = qo.step(
+                sim.rl_dist.approx_ccl, sim.rl_dist.time_cost,
+                also_drift_free=True)
+            masks_e = sim.engine.strat_dict(sim.state)
+            agree_parts, obs, unexpl = [], 0, 0
+            for n in masks_e:
+                rows = masks_e[n].shape[0]
+                agree_parts.append((masks_e[n] == masks_o[n][:rows]).ravel())
+                d_obs = masks_e[n] != masks_o[n][:rows]
+                d_pred = masks_df[n][:rows] != masks_o[n][:rows]
+                obs += int(d_obs.sum())
+                unexpl += int((d_obs & ~d_pred).sum())
+            agreements.append(float(np.concatenate(agree_parts).mean()))
+            attributed.append({"observed": obs, "unexplained": unexpl})
+            # coverage: engine device state vs oracle np.add.at, bit-for-bit
+            cov_e = np.asarray(sim.state.coverage)  # [NB, 5, G_pad]
+            ok = True
+            for ci, n in enumerate(sim.layout.names):
+                off = int(sim.layout.offsets[ci])
+                L = int(sim.layout.lengths[ci])
+                e = cov_e[:, :, off : off + L]            # [NB, 5, L]
+                o = qo.contigs[n].coverage.transpose(2, 1, 0)  # [nb, 5, L]
+                ok = ok and bool(np.array_equal(e, o.astype(e.dtype)))
+            cov_exact.append(ok)
+        total_obs = sum(a["observed"] for a in attributed)
+        total_unexpl = sum(a["unexplained"] for a in attributed)
+        return {
+            "per_batch": agreements,
+            "min_agreement": float(min(agreements)),
+            "coverage_exact": bool(all(cov_exact)),
+            "coverage_exact_batches": cov_exact,
+            "any_on": bool(np.asarray(sim.state.bucket_on).any()),
+            "n_sites": int(sim.layout.lengths.sum()),
+            "n_contigs": len(sim.layout.names),
+            "ploidy": ploidy,
+            "barcoded": barcoded,
+            "reads_per_batch": reads_per_batch,
+            "residual_observed": total_obs,
+            "residual_unexplained": total_unexpl,
+            "residual_unexplained_frac": (
+                total_unexpl / total_obs if total_obs else 0.0),
+        }
+    finally:
+        if own_tmp:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _load_contig_strings(ref_path: str) -> dict[str, str]:
+    from .io.fastq import read_fastx
+
+    return {name: seq for name, _c, seq, _q in read_fastx(ref_path)}

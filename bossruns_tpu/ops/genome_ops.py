@@ -102,26 +102,29 @@ def expected_benefit(scores_ds, approx_ccl_ds, seg_start, seg_end, mu_ds: int = 
     n = scores_ds.shape[-1]
     rows = jnp.arange(n, dtype=jnp.int32)
     cs = _csum(scores_ds)  # [..., n+1]
-    # all 11 windows (mu + 10 ccl pieces) in one batched gather per direction:
-    # hi[k, r] = min(r + w_k, seg_end[r]), lo[k, r] = max(r + 1 - w_k, seg_start)
-    wins = jnp.concatenate(
-        [jnp.asarray([mu_ds], jnp.int32).reshape(1), jnp.maximum(approx_ccl_ds, 1)]
-    )  # [11]
-    hi = jnp.minimum(rows[None, :] + wins[:, None], seg_end[None, :])  # [11, n]
-    lo = jnp.maximum(rows[None, :] + 1 - wins[:, None], seg_start[None, :])
-    cs_hi = jnp.take(cs, hi.reshape(-1), axis=-1).reshape(cs.shape[:-1] + (11, n))
-    cs_lo = jnp.take(cs, lo.reshape(-1), axis=-1).reshape(cs.shape[:-1] + (11, n))
-    fwd = cs_hi - cs[..., None, :n]          # [..., 11, n]
-    rev = cs[..., None, 1 : n + 1] - cs_lo
-    smu = jnp.stack([fwd[..., 0, :], rev[..., 0, :]], axis=-1)  # [..., n, 2]
+    # the 22 window sums share the one cumsum via dynamic-slice shifts; the
+    # segment-boundary corrections gather cs[seg_end]/cs[seg_start] ONCE and
+    # are reused by every window. (A stacked [11, n] traced-index gather was
+    # tried and measured ~20 ms SLOWER at 8 Mb: full-axis gathers run ~40k
+    # elem/ms on this TPU while dynamic_slice is a copy.)
+    cs_end = jnp.take(cs, seg_end, axis=-1)
+    cs_start = jnp.take(cs, seg_start, axis=-1)
+
+    fwd = lambda w: windowed_sums_fwd(cs, w, seg_end, rows, cs_at_seg_end=cs_end)
+    rev = lambda w: windowed_sums_rev(cs, w, seg_start, rows, cs_at_seg_start=cs_start)
+    mu_w = jnp.asarray(mu_ds, jnp.int32)
+    smu = jnp.stack([fwd(mu_w), rev(mu_w)], axis=-1)  # [..., n, 2]
     # host-side f64 weight constants (bit-identical to the numpy oracle's);
-    # python floats are weak-typed so the array dtype is preserved
+    # python floats are weak-typed so the array dtype is preserved. The
+    # accumulation is an UNROLLED sequential chain in the reference loop's
+    # order (reference.py:253-264) so no reassociation is introduced.
     weights = [float(w) for w in np.arange(0.05, 1.0, 0.1)[::-1]]  # [10]
-    ebf = weights[0] * fwd[..., 1, :]
-    ebr = weights[0] * rev[..., 1, :]
+    wins = jnp.maximum(approx_ccl_ds, 1)
+    ebf = weights[0] * fwd(wins[0])
+    ebr = weights[0] * rev(wins[0])
     for k in range(1, 10):
-        ebf = ebf + weights[k] * fwd[..., 1 + k, :]
-        ebr = ebr + weights[k] * rev[..., 1 + k, :]
+        ebf = ebf + weights[k] * fwd(wins[k])
+        ebr = ebr + weights[k] * rev(wins[k])
     eb = jnp.stack([ebf, ebr], axis=-1)
     return smu, jnp.maximum(eb - smu, 0.0)
 
@@ -227,7 +230,10 @@ def bin_benefit(benefit, fhat, norm, nbins: int):
     norm_safe = jnp.where(norm > 0, norm, 1.0)
     idx = frexp_abs_exponent(jnp.where(nz, b / norm_safe, 1.0), nbins)
     nzf = nz.astype(dtype)
-    counts = jnp.zeros(nbins, dtype).at[idx].add(nzf)
+    # counts are integers: scatter in int32 (half the f64-emulation scatter
+    # cost) and cast — exact and order-invariant either way
+    counts = jnp.zeros(nbins, jnp.int32).at[idx].add(
+        nz.astype(jnp.int32)).astype(dtype)
     fsum = jnp.zeros(nbins, dtype).at[idx].add(f * nzf)
     return counts, fsum
 

@@ -82,8 +82,11 @@ class _QContig:
         self.scores = None  # [L, nb] f64, lazily seeded from the zero-cov prior
         if rej:
             self.strat = np.zeros(1, bool)
+            self.strat_df = np.zeros(1, bool)
         else:
             self.strat = np.ones((L // WINDOW, 2, nb), bool)
+            # drift-free twin (see ReferenceQuirkOracle.step(also_drift_free))
+            self.strat_df = np.ones((L // WINDOW, 2, nb), bool)
 
 
 class ReferenceQuirkOracle:
@@ -261,10 +264,39 @@ class ReferenceQuirkOracle:
             rs[:, 0] += np.histogram(starts_fwd.get(cname, []), bins=n_win, range=rng)[0]
             rs[:, 1] += np.histogram(starts_rev.get(cname, []), bins=n_win, range=rng)[0]
 
-    def step(self, approx_ccl: np.ndarray, time_cost: float) -> dict[str, np.ndarray]:
+    def _fhat_drift_free(self) -> np.ndarray:
+        """fhat expansion WITHOUT the Q3b drift: each contig's windows expand
+        to exactly len//100 rows (per-contig adjust) before the global
+        normalisation — the layout the device engine uses."""
+        merged = np.concatenate(list(self.read_starts.values()))
+        fh = fhat_pointmass(merged, alpha=self.fhat_alpha, p0=self.fhat_p0)
+        parts = []
+        off = 0
+        for n, c in self.filt.items():
+            nw = self.read_starts[n].shape[0]
+            exp = np.repeat(fh[off : off + nw], FHAT_WINDOW // WINDOW, axis=0)
+            parts.append(adjust_length(c.length // WINDOW, exp))
+            off += nw
+        fhat_exp = np.concatenate(parts)
+        s = fhat_exp.sum()
+        if s != 0:
+            fhat_exp = fhat_exp * (1.0 / s)
+        return fhat_exp
+
+    def step(self, approx_ccl: np.ndarray, time_cost: float,
+             also_drift_free: bool = False):
         """One update_wrapper (runs/core.py:160-198) after increments +
         read-start counts. Returns the strategy dict as written to
-        masks/boss.npz."""
+        masks/boss.npz.
+
+        also_drift_free=True additionally runs the SAME f64 scores/benefits
+        through a drift-FREE layout (per-contig len//100 rows, true offsets,
+        per-contig fhat expansion — Q3/Q3b removed, Q1 kept) into each
+        contig's ``strat_df`` twin and returns (masks, masks_drift_free).
+        The elementwise difference of the two mask sets is the POSITIVELY
+        PREDICTED Q3/Q3b disagreement set: both pipelines share every input,
+        so any cell where they differ is attributable to the layout drift
+        and nothing else (VERDICT r4 #6)."""
         for c in self.filt.values():
             c.scores = self._scores(c)
             self._modify_scores(c)
@@ -292,4 +324,25 @@ class ReferenceQuirkOracle:
                 for b in range(self.nb):
                     c.strat[buckets[:, b], :, b] = cstrat[buckets[:, b], :, b]
                 i += c.length // WINDOW
-        return {n: c.strat.copy() for n, c in self.contigs.items()}
+            if also_drift_free:
+                # same scores/benefits, drift-free layout: per-contig trim to
+                # len//100 rows, true offsets, per-contig fhat expansion
+                ben_df = np.concatenate(
+                    [per[n][1][: c.length // WINDOW] for n, c in self.filt.items()]
+                )
+                fhat_df = self._fhat_drift_free()
+                fhat_df = np.repeat(fhat_df[:, :, np.newaxis], self.nb, axis=2)
+                strat_d, _t = self._find_strat(ben_df, ben_df, fhat_df, time_cost)
+                i = 0
+                for n, c in self.filt.items():
+                    expand = BUCKET_SIZE // WINDOW
+                    buckets = np.repeat(c.bucket_switches, expand, axis=0)
+                    buckets = adjust_length(c.strat_df.shape[0], buckets)
+                    cstrat = strat_d[i : i + c.length // WINDOW, :]
+                    for b in range(self.nb):
+                        c.strat_df[buckets[:, b], :, b] = cstrat[buckets[:, b], :, b]
+                    i += c.length // WINDOW
+        masks = {n: c.strat.copy() for n, c in self.contigs.items()}
+        if also_drift_free:
+            return masks, {n: c.strat_df.copy() for n, c in self.contigs.items()}
+        return masks

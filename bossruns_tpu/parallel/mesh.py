@@ -359,21 +359,32 @@ class ShardedRunsEngine(RunsEngine):
             jnp.asarray([mu_ds], jnp.int32).reshape(1),
             jnp.clip(params.approx_ccl // DS, 1, halo),
         ])  # [11]
-        hi = jnp.minimum(rows_g[None, :] + wins[:, None], seg_e_l[None, :])
-        lo = jnp.maximum(rows_g[None, :] + 1 - wins[:, None], seg_s_l[None, :])
         off = halo - row0
-        cs_hi = jnp.take(ext, (hi + off).reshape(-1), axis=-1).reshape(nb_l, 11, Gdl)
-        cs_lo = jnp.take(ext, (lo + off).reshape(-1), axis=-1).reshape(nb_l, 11, Gdl)
-        base = ext[:, None, halo : halo + Gdl]               # cs[r]
-        base1 = ext[:, None, halo + 1 : halo + 1 + Gdl]      # cs[r+1]
-        fwd = cs_hi - base
-        rev = base1 - cs_lo
-        smu = jnp.stack([fwd[:, 0, :], rev[:, 0, :]], axis=-1)
-        ebf = _WEIGHTS[0] * fwd[:, 1, :]
-        ebr = _WEIGHTS[0] * rev[:, 1, :]
+        # per-window dynamic-slice shifts of the halo-extended cumsum + TWO
+        # boundary gathers shared by all windows (same reasoning as
+        # ops/genome_ops.expected_benefit: a stacked [11*Gdl] traced-index
+        # gather measured ~20 ms slower at 8 Mb single-chip). cs[r + d] for
+        # the local rows is ext[:, halo + d : halo + d + Gdl] — w <= halo
+        # keeps every slice inside the exchanged halos.
+        cs_end = jnp.take(ext, seg_e_l + off, axis=-1)       # cs[seg_end[r]]
+        cs_start = jnp.take(ext, seg_s_l + off, axis=-1)     # cs[seg_start[r]]
+        base = ext[:, halo : halo + Gdl]                     # cs[r]
+        base1 = ext[:, halo + 1 : halo + 1 + Gdl]            # cs[r+1]
+
+        def win_fwd(w):
+            shifted = lax.dynamic_slice_in_dim(ext, halo + w, Gdl, axis=-1)
+            return jnp.where(rows_g + w <= seg_e_l, shifted, cs_end) - base
+
+        def win_rev(w):
+            shifted = lax.dynamic_slice_in_dim(ext, halo + 1 - w, Gdl, axis=-1)
+            return base1 - jnp.where(rows_g + 1 - w >= seg_s_l, shifted, cs_start)
+
+        smu = jnp.stack([win_fwd(wins[0]), win_rev(wins[0])], axis=-1)
+        ebf = _WEIGHTS[0] * win_fwd(wins[1])
+        ebr = _WEIGHTS[0] * win_rev(wins[1])
         for k in range(1, 10):
-            ebf = ebf + _WEIGHTS[k] * fwd[:, 1 + k, :]
-            ebr = ebr + _WEIGHTS[k] * rev[:, 1 + k, :]
+            ebf = ebf + _WEIGHTS[k] * win_fwd(wins[1 + k])
+            ebr = ebr + _WEIGHTS[k] * win_rev(wins[1 + k])
         benefit = jnp.maximum(jnp.stack([ebf, ebr], axis=-1) - smu, 0.0)
 
         # -- 6. threshold + gated strategy (runs.py step 6) --------------------

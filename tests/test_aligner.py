@@ -148,32 +148,44 @@ def test_sim_with_live_alignment(corpus, tmp_path):
     assert np.asarray(sim.state.coverage).sum() > 0
 
 
-def test_vote_matches_binary_search(rng):
-    """The sort-join vote must equal the searchsorted formulation (+-1 at the
-    exact +tol boundary). A broken rank computation here silently degrades
-    overlap detection while mapping accuracy tests still pass."""
-    import jax
+def test_vote_matches_bucket_spec(rng):
+    """The device run-length vote must equal the staggered-bucket numpy
+    spec exactly, and keep the containment property that any cluster of
+    diameter <= tol is counted in full by at least one grid. A broken scan
+    here silently degrades overlap detection while mapping accuracy tests
+    still pass."""
     import jax.numpy as jnp
 
     from bossruns_tpu.aligner import seed as seed_mod
 
-    def vote_ref(keys_flat, tol=seed_mod.DIAG_TOL):
-        sorted_keys = jnp.sort(keys_flat, axis=1)
-        lo = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(sorted_keys, keys_flat - tol)
-        hi = jax.vmap(jnp.searchsorted, in_axes=(0, 0))(sorted_keys, keys_flat + tol)
-        return jnp.where(keys_flat < seed_mod.SENTINEL, hi - lo, -1)
+    def vote_ref(keys_sorted, tol=seed_mod.DIAG_TOL):
+        width = 2 * tol
+        out = np.empty_like(keys_sorted)
+        for r in range(keys_sorted.shape[0]):
+            row = keys_sorted[r].astype(np.int64)
+            for grid, off in ((0, 0), (1, tol)):
+                b = (row + off) // width
+                _u, inv, cnt = np.unique(b, return_inverse=True, return_counts=True)
+                c = cnt[inv]
+                out[r] = c if grid == 0 else np.maximum(out[r], c)
+        return np.where(keys_sorted < seed_mod.SENTINEL, out, -1)
 
-    kf = rng.integers(0, 5000, (6, 512)).astype(np.int32)
-    kf[0, :80] = seed_mod.SENTINEL
+    kf = rng.integers(-5000, 5000, (6, 512)).astype(np.int32)
     kf[1, :] = 1234  # one giant cluster
+    kf = np.sort(kf, axis=1)
+    kf[0, -80:] = seed_mod.SENTINEL  # sorted rows end in sentinel padding
     v_new = np.asarray(seed_mod._vote(jnp.asarray(kf)))
-    v_ref = np.asarray(vote_ref(jnp.asarray(kf)))
-    # the sort-join count is inclusive of the exact +tol boundary, the
-    # searchsorted reference exclusive: new >= ref, exceeding only by the
-    # multiplicity of values sitting exactly at v + tol
-    assert (v_new >= v_ref).all()
-    assert np.abs(v_new - v_ref).max() <= 4
-    assert (v_new != v_ref).mean() < 0.1
+    np.testing.assert_array_equal(v_new, vote_ref(kf))
+
+    # containment: a compact cluster (diameter <= tol) at an arbitrary
+    # offset always gets its full count on at least one grid
+    tol = seed_mod.DIAG_TOL
+    for start in (0, 100, tol - 1, tol, 2 * tol - 1, 3 * tol + 7):
+        row = np.sort(rng.integers(start, start + tol + 1, 64)).astype(np.int32)
+        pad = np.full(64, seed_mod.SENTINEL, np.int32)
+        v = np.asarray(seed_mod._vote(jnp.asarray(
+            np.concatenate([row, pad])[None, :])))[0]
+        assert v[:64].max() == 64, f"start={start}: {v[:64].max()}"
 
 
 def test_lookup_join_matches_searchsorted(rng):

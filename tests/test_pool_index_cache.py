@@ -8,6 +8,7 @@ from bossruns_tpu.aeons.ava import GAP, PoolIndex
 from bossruns_tpu.aligner import encode
 from bossruns_tpu.aligner.index import (
     _SEQ_SCAN_CACHE,
+    _digest,
     build_index,
     build_index_cached,
     scan_seq_minimizers,
@@ -128,8 +129,11 @@ def test_find_overlaps_pre_scan_reuse_identical():
     # cold path: force memo misses for the queries -> batch-scan fallback
     _SEQ_SCAN_CACHE.clear()
     pidx_cold = PoolIndex(dict(pool, **new))
+    evicted = 0
     for q in new.values():  # evict ONLY the query entries
-        _SEQ_SCAN_CACHE.pop((hash(q), len(q), 15, 10), None)
+        evicted += _SEQ_SCAN_CACHE.pop(
+            (_digest(q.encode()), len(q), 15, 10), None) is not None
+    assert evicted == len(new)  # the memo keys find_overlaps uses are live
     rows_cold = find_overlaps(new, pidx_cold, host=True)
     assert rows_warm.keys() == rows_cold.keys()
     for f in rows_warm:
