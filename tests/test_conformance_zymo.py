@@ -94,3 +94,20 @@ def test_dataplane_conformance_zymo_scale(tmp_path):
     assert out["coverage_exact"], out["coverage_exact_batches"]
     assert out["min_agreement"] >= 0.996, out
     assert out["residual_unexplained_frac"] < 0.01, out
+
+
+@pytest.mark.skipif("not __import__('os').environ.get('BOSS_FULL_CONFORMANCE')",
+                    reason="full-scale diploid/barcoded drives take minutes; "
+                           "set BOSS_FULL_CONFORMANCE=1 (verified passing in "
+                           "round 5, docs/logs/dataplane_full.log)")
+@pytest.mark.parametrize("variant", ["diploid", "barcoded"])
+def test_dataplane_conformance_zymo_scale_variants(variant, tmp_path):
+    """Diploid and barcoded at the FULL 12.6 Mb scale (env-gated; the
+    default suite carries them at 1.3 Mb)."""
+    kw = {"diploid": {"ploidy": 2}, "barcoded": {"barcoded": True}}[variant]
+    out = drive_dataplane_conformance(
+        n_batches=2, reads_per_batch=8000, work_dir=tmp_path, **kw)
+    assert out["any_on"]
+    assert out["coverage_exact"], out["coverage_exact_batches"]
+    assert out["min_agreement"] >= 0.996, out
+    assert out["residual_unexplained_frac"] < 0.01, out
