@@ -16,8 +16,9 @@ step for step — same (k, w, hash) minimizer selection, same anchor budget,
 OCC_CAP occurrence cap and compaction-width drop, same vote/peel semantics —
 so host and device seeding produce identical candidates (pinned by
 tests/test_host_seed.py). Everything is batch-vectorised NumPy: one k-mer
-scan (native C when built) over the concatenated reads, one lexsort of all
-anchors, searchsorted votes, reduceat cluster stats. No per-read Python.
+scan (native C when built) over the concatenated reads, one composite-key
+sort of all anchors, staggered-bucket run-length votes (native C),
+reduceat cluster stats. No per-read Python.
 """
 from __future__ import annotations
 
@@ -169,7 +170,29 @@ def _votes(seg, diag, tol: int):
     partition with the same floor divide over raw diagonals, so the grids
     coincide for any tol. Replaced the exact +-tol window counts in round 5
     together with the device side (the device's exact form needed a 3n-wide
-    sort per call — its dominant cost)."""
+    sort per call — its dominant cost). One native O(n) pass when built
+    (seed_votes_bucket_c); the NumPy form below is the executable spec
+    (pinned equal in tests/test_native_host.py)."""
+    from . import native as native_mod
+
+    lib = native_mod._load()
+    if lib and hasattr(lib, "seed_votes_bucket_c") and seg.shape[0]:
+        import ctypes
+
+        if not hasattr(lib, "_bvotes_ready"):
+            lib.seed_votes_bucket_c.restype = None
+            lib.seed_votes_bucket_c.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib._bvotes_ready = True
+        out = np.zeros(seg.shape[0], np.int64)
+        s = np.ascontiguousarray(seg, np.int64)
+        d = np.ascontiguousarray(diag, np.int64)
+        c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        lib.seed_votes_bucket_c(c(s), c(d), np.int64(s.shape[0]),
+                                np.int64(tol), c(out))
+        return out
 
     def run_counts(b):
         newrun = np.empty(b.shape[0], bool)

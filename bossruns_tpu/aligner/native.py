@@ -24,7 +24,7 @@ _lib = None
 #: a stale binary (e.g. restored from an old cache) and triggers a rebuild
 _EXPECTED_SYMS = (
     "banded_align_batch", "kmer_scan", "parse_paf_block", "minimizer_mask_c",
-    "seed_votes_c", "peel_mask_c", "interval_minmax_c",
+    "seed_votes_c", "seed_votes_bucket_c", "peel_mask_c", "interval_minmax_c",
 )
 
 

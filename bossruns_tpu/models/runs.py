@@ -532,10 +532,13 @@ class RunsEngine:
         ex_flat = (
             batch.ex_bcsym.astype(jnp.uint32) * jnp.uint32(G) + batch.ex_g
         )
+        # ONE scatter for both interval boundaries (start +1 / end -1):
+        # scatter launches dominate the coverage stage at ~40k rows/ms, so
+        # halving the launch count beats two half-sized scatters
         bounds = (
             jnp.zeros(nbG + 1, jnp.int32)
-            .at[mr_flat].add(sign, mode="drop")
-            .at[mr_flat + mr_len].add(-sign, mode="drop")
+            .at[jnp.concatenate([mr_flat, mr_flat + mr_len])]
+            .add(jnp.concatenate([sign, -sign]), mode="drop")
         )
         match_inc = jnp.cumsum(bounds[:nbG]).reshape(nb, G)
         # single flat-index scatter: the multi-index-array form lowers to a

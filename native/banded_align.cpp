@@ -960,6 +960,40 @@ void seed_votes_c(const int64_t* comp, int64_t n, int64_t tol, int64_t* votes) {
     }
 }
 
+// seed_votes_bucket_c: the round-5 staggered-bucket vote. votes[i] = max
+// over two grids (width 2*tol, offsets 0 and tol) of the run length of i's
+// (seg, floor-divide bucket) group; inputs sorted by (seg, diag). Floor
+// division matches numpy (host_seed.py::_votes is the executable spec,
+// pinned equal in tests/test_native_host.py; the device kernel counts
+// identically by the shared partition).
+void seed_votes_bucket_c(const int64_t* seg, const int64_t* diag, int64_t n,
+                         int64_t tol, int64_t* votes) {
+    if (n <= 0) return;
+    const int64_t width = 2 * tol > 0 ? 2 * tol : 1;
+    for (int grid = 0; grid < 2; ++grid) {
+        const int64_t off = grid ? tol : 0;
+        int64_t run_start = 0;
+        int64_t prev_b = 0;
+        for (int64_t i = 0; i <= n; ++i) {
+            int64_t b = 0;
+            if (i < n) {
+                int64_t v = diag[i] + off;
+                b = v / width;
+                if ((v % width) != 0 && (v < 0)) --b;  // floor like numpy
+            }
+            bool boundary = (i == n) || (i > 0 && (seg[i] != seg[i - 1] || b != prev_b));
+            if (boundary) {
+                int64_t len = i - run_start;
+                for (int64_t j = run_start; j < i; ++j) {
+                    if (grid == 0 || len > votes[j]) votes[j] = len;
+                }
+                run_start = i;
+            }
+            prev_b = b;
+        }
+    }
+}
+
 void peel_mask_c(int64_t* votes, int64_t n, const int64_t* lo,
                  const int64_t* hi, int64_t m) {
     if (n <= 0 || m <= 0) return;

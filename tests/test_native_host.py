@@ -389,3 +389,49 @@ def test_native_interval_minmax_matches_spec():
         got_mn, got_mx = hs._interval_minmax(vals, lo, hi, empty)
         np.testing.assert_array_equal(got_mn, mn, err_msg=f"n={n} m={m}")
         np.testing.assert_array_equal(got_mx, mx, err_msg=f"n={n} m={m}")
+
+
+def test_native_bucket_votes_matches_numpy_spec():
+    """seed_votes_bucket_c (one O(n) run-length pass per staggered grid) ==
+    the numpy run-length spec in host_seed._votes, negative diagonals and
+    segment boundaries included."""
+    import ctypes
+
+    import bossruns_tpu.aligner.native as nm
+
+    lib = nm._load()
+    assert lib and hasattr(lib, "seed_votes_bucket_c")
+    lib.seed_votes_bucket_c.restype = None
+    lib.seed_votes_bucket_c.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_void_p,
+    ]
+    rng = np.random.default_rng(12)
+
+    def spec(seg, diag, tol):
+        width = 2 * tol
+
+        def run_counts(b):
+            newrun = np.empty(b.shape[0], bool)
+            newrun[0] = True
+            np.not_equal(b[1:], b[:-1], out=newrun[1:])
+            starts = np.flatnonzero(newrun)
+            lens = np.diff(np.append(starts, b.shape[0]))
+            return np.repeat(lens, lens)
+
+        m = np.int64(1) << 40
+        return np.maximum(run_counts(seg * m + diag // width),
+                          run_counts(seg * m + (diag + tol) // width))
+
+    for n in (1, 2, 100, 50_000):
+        for tol in (1, 25, 256, 4096):
+            seg = np.sort(rng.integers(0, 8, n)).astype(np.int64)
+            diag = rng.integers(-30_000, 30_000, n).astype(np.int64)
+            order = np.lexsort((diag, seg))
+            seg, diag = seg[order], diag[order]
+            got = np.zeros(n, np.int64)
+            c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+            lib.seed_votes_bucket_c(c(seg), c(diag), np.int64(n),
+                                    np.int64(tol), c(got))
+            np.testing.assert_array_equal(got, spec(seg, diag, tol),
+                                          err_msg=f"n={n} tol={tol}")
