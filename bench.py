@@ -462,8 +462,9 @@ def section_conformance():
                    "n_contigs": out["n_contigs"],
                    "n_sites": out["n_sites"],
                    "any_on": out["any_on"],
-                   "residual_unexplained_frac": round(
-                       out["residual_unexplained_frac"], 6)},
+                   "residual_unexplained": out["residual_unexplained"],
+                   "residual_precision": out["residual_precision"],
+                   "residual_observed": out["residual_observed"]},
     })
     if remaining() > 240:
         dp = drive_dataplane_conformance(
@@ -477,8 +478,9 @@ def section_conformance():
                        "per_batch": [round(a, 6) for a in dp["per_batch"]],
                        "n_sites": dp["n_sites"],
                        "any_on": dp["any_on"],
-                       "residual_unexplained_frac": round(
-                           dp["residual_unexplained_frac"], 6)},
+                       "residual_unexplained": dp["residual_unexplained"],
+                       "residual_precision": dp["residual_precision"],
+                       "residual_observed": dp["residual_observed"]},
         })
 
 

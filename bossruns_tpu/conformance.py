@@ -198,21 +198,21 @@ def drive_zymo_conformance(
             for n in masks_e
         ])
         agreements.append(float(agree.mean()))
-        # POSITIVE residual attribution (VERDICT r4 #6): the predicted
-        # Q3/Q3b set is where the quirk oracle disagrees with its own
-        # drift-free twin (identical scores/benefits, layout removed). Any
-        # observed engine-vs-quirk disagreement OUTSIDE that set is
-        # unexplained by the layout drift.
-        obs = unexpl = 0
-        for n in masks_e:
-            rows = masks_e[n].shape[0]
-            d_obs = masks_e[n] != masks_o[n][:rows]
-            d_pred = masks_df[n][:rows] != masks_o[n][:rows]
-            obs += int(d_obs.sum())
-            unexpl += int((d_obs & ~d_pred).sum())
-        attributed.append({"observed": obs, "unexplained": unexpl})
+        # POSITIVE residual attribution (VERDICT r4 #6), two named causes:
+        #   drift      — cells where the quirk oracle disagrees with its own
+        #                drift-free twin (identical f64 scores, layout
+        #                removed): the predicted Q3/Q3b set;
+        #   precision  — cells where the engine disagrees with the twin
+        #                (engine scores are f32, the oracle's f64 — cells
+        #                within a score ulp of the threshold bin edge flip).
+        # Every observed disagreement must fall in one of the two
+        # (set logic: engine != quirk implies quirk != twin OR engine !=
+        # twin); `unexplained` counts cells outside BOTH — always 0 unless
+        # the attribution machinery itself is broken.
+        attributed.append(_attribute_residual(masks_e, masks_o, masks_df))
     total_obs = sum(a["observed"] for a in attributed)
     total_unexpl = sum(a["unexplained"] for a in attributed)
+    total_prec = sum(a["precision"] for a in attributed)
     return {
         "agreement": agreements[-1],
         "per_batch": agreements,
@@ -231,7 +231,24 @@ def drive_zymo_conformance(
             total_unexpl / total_obs if total_obs else 0.0
         ),
         "residual_per_batch": attributed,
+        "residual_precision": total_prec,
     }
+
+
+def _attribute_residual(masks_e: dict, masks_o: dict, masks_df: dict) -> dict:
+    """Decompose engine-vs-quirk mask disagreements into the predicted
+    Q3/Q3b layout-drift set and the f32-vs-f64 score-precision set (see the
+    call-site comment). Returns per-batch counts."""
+    obs = unexpl = prec = 0
+    for n in masks_e:
+        rows = masks_e[n].shape[0]
+        d_obs = masks_e[n] != masks_o[n][:rows]
+        d_pred = masks_df[n][:rows] != masks_o[n][:rows]
+        d_prec = masks_e[n] != masks_df[n][:rows]
+        obs += int(d_obs.sum())
+        prec += int((d_obs & ~d_pred & d_prec).sum())
+        unexpl += int((d_obs & ~d_pred & ~d_prec).sum())
+    return {"observed": obs, "unexplained": unexpl, "precision": prec}
 
 
 def drive_dataplane_conformance(
@@ -368,16 +385,12 @@ def drive_dataplane_conformance(
                 sim.rl_dist.approx_ccl, sim.rl_dist.time_cost,
                 also_drift_free=True)
             masks_e = sim.engine.strat_dict(sim.state)
-            agree_parts, obs, unexpl = [], 0, 0
-            for n in masks_e:
-                rows = masks_e[n].shape[0]
-                agree_parts.append((masks_e[n] == masks_o[n][:rows]).ravel())
-                d_obs = masks_e[n] != masks_o[n][:rows]
-                d_pred = masks_df[n][:rows] != masks_o[n][:rows]
-                obs += int(d_obs.sum())
-                unexpl += int((d_obs & ~d_pred).sum())
+            agree_parts = [
+                (masks_e[n] == masks_o[n][: masks_e[n].shape[0]]).ravel()
+                for n in masks_e
+            ]
             agreements.append(float(np.concatenate(agree_parts).mean()))
-            attributed.append({"observed": obs, "unexplained": unexpl})
+            attributed.append(_attribute_residual(masks_e, masks_o, masks_df))
             # coverage: engine device state vs oracle np.add.at, bit-for-bit
             cov_e = np.asarray(sim.state.coverage)  # [NB, 5, G_pad]
             ok = True
@@ -390,6 +403,7 @@ def drive_dataplane_conformance(
             cov_exact.append(ok)
         total_obs = sum(a["observed"] for a in attributed)
         total_unexpl = sum(a["unexplained"] for a in attributed)
+        total_prec = sum(a["precision"] for a in attributed)
         return {
             "per_batch": agreements,
             "min_agreement": float(min(agreements)),
@@ -405,6 +419,7 @@ def drive_dataplane_conformance(
             "residual_unexplained": total_unexpl,
             "residual_unexplained_frac": (
                 total_unexpl / total_obs if total_obs else 0.0),
+            "residual_precision": total_prec,
         }
     finally:
         if own_tmp:

@@ -35,10 +35,10 @@ def test_small_scale_agreement_exercises_decisions():
     assert out["any_on"], "bucket switches never flipped"
     assert out["exact_vs_drift_free"], out["exact_batches"]
     assert out["min_agreement"] >= 0.995, out
-    # POSITIVE residual attribution: every engine-vs-quirk disagreement
-    # falls inside the predicted Q3/Q3b drift set (quirk oracle vs its own
-    # drift-free twin) — <1% unexplained (VERDICT r4 #6)
-    assert out["residual_unexplained_frac"] < 0.01, out
+    # POSITIVE residual attribution (VERDICT r4 #6): every engine-vs-quirk
+    # disagreement falls inside the predicted Q3/Q3b drift set OR the
+    # f32-vs-f64 score-precision set — ZERO cells unexplained
+    assert out["residual_unexplained"] == 0, out
 
 
 def test_zymo_scale_agreement():
@@ -54,7 +54,10 @@ def test_zymo_scale_agreement():
     # 0.9979; floor with margin). The residual is POSITIVELY attributed:
     # each disagreement must fall in the predicted Q3/Q3b set.
     assert out["min_agreement"] >= 0.996, out
-    assert out["residual_unexplained_frac"] < 0.01, out
+    assert out["residual_unexplained"] == 0, out
+    # the drift set carries (nearly) all of the residual; score precision
+    # contributes a handful of threshold-edge cells
+    assert out["residual_precision"] <= 0.05 * max(out["residual_observed"], 1), out
     print(f"zymo conformance: quirk-oracle agreement {out['per_batch']}, "
           f"exact vs drift-free {out['exact_batches']}, "
           f"unexplained residual {out['residual_unexplained']}/"
@@ -79,7 +82,7 @@ def test_dataplane_conformance_variants(variant, tmp_path):
     assert out["any_on"], "bucket switches never flipped"
     assert out["coverage_exact"], out["coverage_exact_batches"]
     assert out["min_agreement"] >= 0.995, out
-    assert out["residual_unexplained_frac"] < 0.01, out
+    assert out["residual_unexplained"] == 0, out
 
 
 def test_dataplane_conformance_zymo_scale(tmp_path):
@@ -93,7 +96,7 @@ def test_dataplane_conformance_zymo_scale(tmp_path):
     assert out["any_on"]
     assert out["coverage_exact"], out["coverage_exact_batches"]
     assert out["min_agreement"] >= 0.996, out
-    assert out["residual_unexplained_frac"] < 0.01, out
+    assert out["residual_unexplained"] == 0, out
 
 
 @pytest.mark.skipif("not __import__('os').environ.get('BOSS_FULL_CONFORMANCE')",
@@ -110,4 +113,4 @@ def test_dataplane_conformance_zymo_scale_variants(variant, tmp_path):
     assert out["any_on"]
     assert out["coverage_exact"], out["coverage_exact_batches"]
     assert out["min_agreement"] >= 0.996, out
-    assert out["residual_unexplained_frac"] < 0.01, out
+    assert out["residual_unexplained"] == 0, out
