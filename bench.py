@@ -50,7 +50,7 @@ GENOME = {"chr1": 4_050_000, "chr2": 2_000_000, "chr3": 2_000_000}
 CCL = np.array([30000, 20000, 14000, 10000, 7000, 5000, 3500, 2200, 1200, 400])
 TIME_COST = 5300.0
 
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 900))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1400))
 T0 = time.monotonic()
 #: persistent scratch next to the repo: the sim/aeons corpora are
 #: deterministic (fixed rng), so later runs (and driver rounds) reuse them
@@ -496,10 +496,13 @@ SECTIONS = {
 #: startup per subprocess. Cold = every kernel shape is a 2-8 min remote
 #: compile; sections that cannot fit the remaining budget are skipped.
 SECTION_EST = {
-    "aligner": (330, 1500),
-    "sim_batch": (210, 600),
+    "aligner": (240, 1500),
+    # the sim pays one executable LOAD per evolving gated pad shape (tens of
+    # seconds each on this toolchain even fully cache-warm) — measured ~7-9
+    # min wall for the 9-batch section
+    "sim_batch": (420, 900),
     "aeons_batch": (300, 900),
-    "scale": (210, 700),
+    "scale": (150, 700),
     "conformance": (480, 900),
 }
 #: seconds reserved at the end for the final headline re-print
@@ -578,15 +581,38 @@ def main():
     except Exception as e:  # noqa: BLE001
         emit({"metric": "strategy_update_error", "value": None, "unit": None,
               "vs_baseline": None, "detail": {"error": repr(e)[:300]}})
-    cold = compile_s > 90
-    if cold:
+    # cold-cache detection: a slow FIRST step alone is ambiguous — pool
+    # congestion queues the first dispatch for minutes with a fully warm
+    # cache (observed 576 s on a warm cache, round 5). The persistent cache
+    # directory disambiguates: a re-provisioned workspace starts EMPTY, so
+    # treat the run as cold only if the headline was slow AND the cache has
+    # almost no entries.
+    n_cached = len(list((Path(__file__).parent / ".jax_cache").glob("*")))
+    cold = compile_s > 90 and n_cached < 20
+    if cold or compile_s > 90:
         emit({"metric": "bench_cold_cache", "value": round(compile_s, 1),
               "unit": "s", "vs_baseline": None,
-              "detail": {"note": "headline compile was a cold remote compile;"
-                                 " using cold section budgets"}})
+              "detail": {"note": ("cold remote compile; using cold section"
+                                  " budgets") if cold else
+                                 ("slow first step on a WARM cache"
+                                  f" ({n_cached} entries): pool congestion;"
+                                  " keeping warm budgets"),
+                         "cache_entries": n_cached}})
+
+    def emit_summary():
+        summary = [
+            {"metric": r["metric"], "value": r.get("value"),
+             "unit": r.get("unit"), "vs_baseline": r.get("vs_baseline")}
+            for r in ([headline] if headline else []) + all_records
+        ]
+        emit({"metric": "bench_summary", "value": len(summary),
+              "unit": "records", "vs_baseline": None,
+              "detail": {"records": summary}})
 
     if os.environ.get("BENCH_ONLY", "") != "step":
-        for name in ("aligner", "sim_batch", "aeons_batch", "scale", "conformance"):
+        # conformance before aeons/scale: if the budget runs dry, the
+        # decision-parity evidence outranks the remaining perf points
+        for name in ("aligner", "sim_batch", "conformance", "aeons_batch", "scale"):
             est = SECTION_EST[name][1 if cold else 0]
             if remaining() - RESERVE < est:
                 emit({"metric": f"{name}_skipped", "value": None, "unit": None,
@@ -604,17 +630,14 @@ def main():
             except Exception as e:  # noqa: BLE001
                 emit({"metric": f"{name}_error", "value": None, "unit": None,
                       "vs_baseline": None, "detail": {"error": repr(e)[:300]}})
-    # compact summary of EVERY metric produced this run, emitted just before
-    # the headline re-print so the driver's bounded output tail always
-    # carries all section numbers (r1-r4 dropped the aligner lines: they
-    # printed first and the recorded tail truncated them away)
-    summary = [
-        {"metric": r["metric"], "value": r.get("value"),
-         "unit": r.get("unit"), "vs_baseline": r.get("vs_baseline")}
-        for r in ([headline] if headline else []) + all_records
-    ]
-    emit({"metric": "bench_summary", "value": len(summary), "unit": "records",
-          "vs_baseline": None, "detail": {"records": summary}})
+            # cumulative summary after EVERY section: an external kill of
+            # the whole bench still leaves a complete scoreboard in the tail
+            emit_summary()
+    # final compact summary of EVERY metric, just before the headline
+    # re-print, so the driver's bounded output tail always carries all
+    # section numbers (r1-r4 dropped the aligner lines: they printed first
+    # and the recorded tail truncated them away)
+    emit_summary()
     # last line re-prints the headline: the driver records the final JSON
     # line as the round's parsed metric
     if headline is not None:
