@@ -29,6 +29,17 @@ W = 10
 MAX_OCC = 64
 INVALID_HASH = np.int32(2**31 - 1)
 
+#: inputs below this skip the threaded native scans (thread spawn overhead)
+_SCAN_MT_MIN = 1 << 18
+
+
+def _scan_threads(n: int) -> int:
+    if n < _SCAN_MT_MIN:
+        return 1
+    import os
+
+    return max(1, min(os.cpu_count() or 1, 4))
+
 
 def selection_hash(x: np.ndarray) -> np.ndarray:
     """31-bit triple32-style mix; MUST match aligner.seed._hash31 so host
@@ -76,13 +87,25 @@ def minimizer_mask(h: np.ndarray, w: int = W) -> np.ndarray:
             lib.minimizer_mask_c.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
             ]
+            lib.minimizer_mask_mt.restype = None
+            lib.minimizer_mask_mt.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+                ctypes.c_int32,
+            ]
             lib._mmask_ready = True
         out = np.empty(h.shape[0], np.int8)
         h32 = np.ascontiguousarray(h, np.int32)
-        lib.minimizer_mask_c(
-            h32.ctypes.data_as(ctypes.c_void_p), np.int64(h.shape[0]),
-            np.int32(w), out.ctypes.data_as(ctypes.c_void_p),
-        )
+        nt = _scan_threads(h.shape[0])
+        if nt > 1:
+            lib.minimizer_mask_mt(
+                h32.ctypes.data_as(ctypes.c_void_p), np.int64(h.shape[0]),
+                np.int32(w), out.ctypes.data_as(ctypes.c_void_p), np.int32(nt),
+            )
+        else:
+            lib.minimizer_mask_c(
+                h32.ctypes.data_as(ctypes.c_void_p), np.int64(h.shape[0]),
+                np.int32(w), out.ctypes.data_as(ctypes.c_void_p),
+            )
         return out.astype(bool)
     # wmin[p] = min(h[p : p+w]); i is a minimizer iff h[i] equals the min of
     # a window containing i <=> h[i] == min(wmin[i-w+1 : i+1])
@@ -122,16 +145,29 @@ def _kmer_scan_arrays(codes: np.ndarray, k: int):
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ]
+            lib.kmer_scan_mt.restype = None
+            lib.kmer_scan_mt.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int32,
+            ]
             lib._kscan_ready = True
         canonical = np.empty(n, np.int64)
         strand = np.empty(n, np.int8)
         h = np.empty(n, np.int32)
         ok8 = np.empty(n, np.int8)
         c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
-        lib.kmer_scan(
-            c(np.ascontiguousarray(codes, np.int8)), np.int64(codes.shape[0]),
-            np.int32(k), c(canonical), c(strand), c(h), c(ok8),
-        )
+        nt = _scan_threads(n)
+        if nt > 1:
+            lib.kmer_scan_mt(
+                c(np.ascontiguousarray(codes, np.int8)), np.int64(codes.shape[0]),
+                np.int32(k), c(canonical), c(strand), c(h), c(ok8), np.int32(nt),
+            )
+        else:
+            lib.kmer_scan(
+                c(np.ascontiguousarray(codes, np.int8)), np.int64(codes.shape[0]),
+                np.int32(k), c(canonical), c(strand), c(h), c(ok8),
+            )
         return canonical, strand, h, ok8.astype(bool)
 
     fwd, rc = kmer_codes(codes, k)

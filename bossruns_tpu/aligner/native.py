@@ -23,7 +23,8 @@ _lib = None
 #: symbols the current source provides; a loaded .so missing any of them is
 #: a stale binary (e.g. restored from an old cache) and triggers a rebuild
 _EXPECTED_SYMS = (
-    "banded_align_batch", "kmer_scan", "parse_paf_block", "minimizer_mask_c",
+    "banded_align_batch", "kmer_scan", "kmer_scan_mt", "parse_paf_block",
+    "minimizer_mask_c", "minimizer_mask_mt",
     "seed_votes_c", "seed_votes_bucket_c", "peel_mask_c", "interval_minmax_c",
 )
 

@@ -824,6 +824,122 @@ int64_t split_match_runs_wide_v2(const int8_t* sym, const int8_t* qual,
 // aligner/index.py::minimizer_mask, whose scipy two-pass form dominated
 // index builds). Two monotonic-deque sliding-min passes, O(n); windows are
 // clipped at the array edges (== scipy's 'nearest' replication for a min).
+// Threaded variants (round 5): the per-batch AEONS index rebuild scans a
+// few Mb of new sequence per batch; both passes chunk exactly.
+//   kmer_scan_mt — each chunk primes the rolling k-mer state from its own
+//   start (the since_bad streak truncates at the chunk start, which leaves
+//   the `streak >= k` validity test unchanged), so chunk outputs equal the
+//   sequential scan's bit for bit.
+//   minimizer_mask_mt — mask[i] depends on h[i-w+1 .. i+w-1] only; each
+//   chunk runs the two deque passes over its halo-extended range with
+//   GLOBAL end clipping.
+
+static void kmer_scan_range(const int8_t* codes, int64_t n_codes, int32_t k,
+                            int64_t p0, int64_t p1,
+                            int64_t* canonical, int8_t* strand,
+                            int32_t* hash_out, int8_t* ok_out) {
+    const int64_t mask = (k >= 32) ? ~0LL : ((1LL << (2 * k)) - 1);
+    const int rc_shift = 2 * (k - 1);
+    int64_t fwd = 0, rc = 0;
+    int64_t since_bad = 0;
+    const int64_t i_end = p1 + k - 1 < n_codes ? p1 + k - 1 : n_codes;
+    for (int64_t i = p0; i < i_end; ++i) {
+        const int64_t b = codes[i] & 3;
+        fwd = ((fwd << 2) | b) & mask;
+        rc = (rc >> 2) | ((3 - b) << rc_shift);
+        since_bad = (codes[i] >= 4) ? 0 : since_bad + 1;
+        const int64_t p = i - k + 1;
+        if (p < p0) continue;
+        const bool valid = since_bad >= k && fwd != rc;
+        const int64_t can = fwd < rc ? fwd : rc;
+        canonical[p] = can;
+        strand[p] = (int8_t)(rc < fwd);
+        ok_out[p] = (int8_t)valid;
+        if (valid) {
+            uint32_t h = (uint32_t)can ^ (uint32_t)(can >> 15);
+            h ^= h >> 16; h *= 0x45D9F3Bu;
+            h ^= h >> 16; h *= 0x45D9F3Bu;
+            h ^= h >> 16;
+            hash_out[p] = (int32_t)(h >> 1);
+        } else {
+            hash_out[p] = 0x7FFFFFFF;
+        }
+    }
+}
+
+static void minimizer_mask_range(const int32_t* h, int64_t n, int32_t w,
+                                 int64_t a, int64_t b, int8_t* out) {
+    // out[i] for i in [a, b); wmin[p] = min(h[p : min(p+w, n)]) computed for
+    // p in [lo, b) with lo = max(a - w + 1, 0); m2[i] = min(wmin[max(i-w+1,
+    // 0) : i+1]); out[i] = (h[i] == m2[i]).
+    const int64_t lo = a - w + 1 > 0 ? a - w + 1 : 0;
+    const int64_t span = b - lo;
+    if (span <= 0) return;
+    int32_t* wmin = (int32_t*)malloc((size_t)span * sizeof(int32_t));
+    int64_t* dq = (int64_t*)malloc(((size_t)span + (size_t)w) * sizeof(int64_t));
+    int64_t head = 0, tail = 0;
+    const int64_t hi = b + w - 1 < n ? b + w - 1 : n;  // codes read: [lo, hi)
+    for (int64_t i = lo; i < hi; ++i) {
+        while (tail > head && h[dq[tail - 1]] > h[i]) --tail;
+        dq[tail++] = i;
+        int64_t p = i - w + 1;
+        if (p >= lo && p < b) {
+            while (dq[head] < p) ++head;
+            wmin[p - lo] = h[dq[head]];
+        }
+    }
+    // tail windows clipped at the GLOBAL end (p + w > n)
+    for (int64_t p = (n - w + 1 > lo ? n - w + 1 : lo); p < b; ++p) {
+        while (head < tail && dq[head] < p) ++head;
+        wmin[p - lo] = (head < tail) ? h[dq[head]] : h[p];
+    }
+    head = tail = 0;
+    for (int64_t i = lo; i < b; ++i) {
+        while (tail > head && wmin[dq[tail - 1] - lo] > wmin[i - lo]) --tail;
+        dq[tail++] = i;
+        int64_t l2 = i - w + 1;
+        while (dq[head] < (l2 > lo ? l2 : lo)) ++head;
+        if (i >= a) out[i] = (h[i] == wmin[dq[head] - lo]) ? 1 : 0;
+    }
+    free(wmin);
+    free(dq);
+}
+
+void kmer_scan_mt(const int8_t* codes, int64_t n_codes, int32_t k,
+                  int64_t* canonical, int8_t* strand, int32_t* hash_out,
+                  int8_t* ok_out, int32_t nthreads) {
+    const int64_t n = n_codes - k + 1;
+    if (n <= 0) return;
+    int T = nthreads < 1 ? 1 : nthreads;
+    if ((int64_t)T > n) T = 1;
+    std::vector<std::thread> threads;
+    const int64_t chunk = (n + T - 1) / T;
+    for (int t = 0; t < T; ++t) {
+        const int64_t p0 = t * chunk;
+        const int64_t p1 = (t + 1) * chunk < n ? (t + 1) * chunk : n;
+        if (p0 >= p1) break;
+        threads.emplace_back(kmer_scan_range, codes, n_codes, k, p0, p1,
+                             canonical, strand, hash_out, ok_out);
+    }
+    for (auto& th : threads) th.join();
+}
+
+void minimizer_mask_mt(const int32_t* h, int64_t n, int32_t w, int8_t* out,
+                       int32_t nthreads) {
+    if (n <= 0) return;
+    int T = nthreads < 1 ? 1 : nthreads;
+    if ((int64_t)T > n) T = 1;
+    std::vector<std::thread> threads;
+    const int64_t chunk = (n + T - 1) / T;
+    for (int t = 0; t < T; ++t) {
+        const int64_t a = t * chunk;
+        const int64_t b = (t + 1) * chunk < n ? (t + 1) * chunk : n;
+        if (a >= b) break;
+        threads.emplace_back(minimizer_mask_range, h, n, w, a, b, out);
+    }
+    for (auto& th : threads) th.join();
+}
+
 void minimizer_mask_c(const int32_t* h, int64_t n, int32_t w, int8_t* out) {
     if (n <= 0) return;
     int32_t* wmin = (int32_t*)malloc((size_t)n * sizeof(int32_t));

@@ -435,3 +435,53 @@ def test_native_bucket_votes_matches_numpy_spec():
                                     np.int64(tol), c(got))
             np.testing.assert_array_equal(got, spec(seg, diag, tol),
                                           err_msg=f"n={n} tol={tol}")
+
+
+def test_threaded_scans_match_sequential():
+    """kmer_scan_mt / minimizer_mask_mt must equal the sequential kernels
+    bit for bit at every thread count, including chunk-boundary-heavy sizes
+    and invalid-base runs straddling chunks."""
+    import ctypes
+
+    import bossruns_tpu.aligner.native as nm
+
+    lib = nm._load()
+    assert lib and hasattr(lib, "kmer_scan_mt") and hasattr(lib, "minimizer_mask_mt")
+    lib.kmer_scan.restype = lib.kmer_scan_mt.restype = None
+    lib.kmer_scan.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.kmer_scan_mt.argtypes = lib.kmer_scan.argtypes + [ctypes.c_int32]
+    lib.minimizer_mask_c.restype = lib.minimizer_mask_mt.restype = None
+    lib.minimizer_mask_c.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
+    lib.minimizer_mask_mt.argtypes = lib.minimizer_mask_c.argtypes + [ctypes.c_int32]
+    c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    rng = np.random.default_rng(77)
+    for n_codes in (40, 1000, 100_003):
+        for k in (13, 15):
+            codes = rng.integers(0, 4, n_codes).astype(np.int8)
+            bad = rng.random(n_codes) < 0.01
+            codes[bad] = 4
+            n = n_codes - k + 1
+            ref = [np.empty(n, np.int64), np.empty(n, np.int8),
+                   np.empty(n, np.int32), np.empty(n, np.int8)]
+            lib.kmer_scan(c(codes), np.int64(n_codes), np.int32(k),
+                          *[c(a) for a in ref])
+            for nt in (1, 2, 3, 7):
+                got = [np.empty(n, np.int64), np.empty(n, np.int8),
+                       np.empty(n, np.int32), np.empty(n, np.int8)]
+                lib.kmer_scan_mt(c(codes), np.int64(n_codes), np.int32(k),
+                                 *[c(a) for a in got], np.int32(nt))
+                for a, b in zip(got, ref):
+                    np.testing.assert_array_equal(a, b, err_msg=f"{n_codes},{k},{nt}")
+            for w in (5, 10):
+                h = ref[2]
+                mref = np.empty(n, np.int8)
+                lib.minimizer_mask_c(c(h), np.int64(n), np.int32(w), c(mref))
+                for nt in (1, 2, 3, 7):
+                    mgot = np.empty(n, np.int8)
+                    lib.minimizer_mask_mt(c(h), np.int64(n), np.int32(w),
+                                          c(mgot), np.int32(nt))
+                    np.testing.assert_array_equal(mgot, mref,
+                                                  err_msg=f"{n_codes},{k},{w},{nt}")
