@@ -63,10 +63,18 @@ def test_two_process_mask_contract(tmp_path):
             fh.write(f"@{r.rid} ch=1\n{r.seq}\n+\n{r.qual}\n")
 
     env = _cpu_env()
+    # children log per-iteration INFO lines: stream to FILES, never PIPEs —
+    # an undrained 64 KB pipe blocks the shim's logging write and freezes
+    # its decision loop mid-run (observed as "no decisions after the mask
+    # arrived" whenever the run lasted long enough to fill the pipe)
+    rf_out_fh = open(tmp_path / "rf_stdout.log", "wb")
+    rf_err_fh = open(tmp_path / "rf_stderr.log", "wb")
+    boss_out_fh = open(tmp_path / "boss_stdout.log", "wb")
+    boss_err_fh = open(tmp_path / "boss_stderr.log", "wb")
     rf = subprocess.Popen(
         [sys.executable, str(HERE / "proc_readfish_shim.py"),
          str(tmp_path), NAME, CONTIG, str(CONTIG_LEN), str(THROTTLE)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        env=env, stdout=rf_out_fh, stderr=rf_err_fh,
     )
     boss = None
     try:
@@ -78,10 +86,10 @@ def test_two_process_mask_contract(tmp_path):
         boss = subprocess.Popen(
             [sys.executable, str(HERE / "proc_boss_live.py"),
              str(tmp_path), NAME, str(ref), str(fqdir), "1"],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=env, stdout=boss_out_fh, stderr=boss_err_fh,
         )
         rc = boss.wait(timeout=420)
-        out, err = boss.communicate()
+        err = (tmp_path / "boss_stderr.log").read_bytes()
         assert rc == 0, f"boss process failed:\n{err.decode()[-2000:]}"
         boss_end = time.time()
         mask_path = tmp_path / f"out_{NAME}" / "masks" / "boss.npz"
@@ -121,10 +129,13 @@ def test_two_process_mask_contract(tmp_path):
         if boss is not None and boss.poll() is None:
             boss.kill()
         try:
-            rf_out, rf_err = rf.communicate(timeout=60)
+            rf.wait(timeout=60)
         except subprocess.TimeoutExpired:
             rf.kill()
-            rf_out, rf_err = rf.communicate()
+            rf.wait()
+        for fh in (rf_out_fh, rf_err_fh, boss_out_fh, boss_err_fh):
+            fh.close()
+    rf_err = (tmp_path / "rf_stderr.log").read_bytes()
     assert rf.returncode == 0, f"readfish shim failed:\n{rf_err.decode()[-2000:]}"
 
     # ---- the contract: late decisions equal the final mask ----------------
