@@ -254,8 +254,9 @@ def section_sim():
     for _ in range(7):
         # budget-aware: under pool congestion a batch stretches to many
         # seconds; emit a degraded-but-present record instead of timing the
-        # whole section out with nothing (>= 3 samples for a median)
-        if len(times) >= 3 and remaining() < 90:
+        # whole section out with nothing (even a single sample beats a
+        # section timeout — the detail carries the sample count)
+        if times and remaining() < 90:
             break
         t0 = time.perf_counter()
         sim.process_batch()
@@ -272,7 +273,8 @@ def section_sim():
         "detail": {"reads_per_batch": N_READS,
                    "reads_per_s": round(N_READS / p50, 1),
                    "floor_ms": round(floor * 1000.0, 1),
-                   "phase_p50_ms": sim.phase_p50_ms(last=7)},
+                   "n_samples": len(times),
+                   "phase_p50_ms": sim.phase_p50_ms(last=len(times))},
     })
 
 

@@ -84,7 +84,19 @@ def main(n_reads: int = 2000, trials: int = 3):
         },
     }), flush=True)
     for label, kw in (("trunc", dict(trunc=True)), ("full", dict())):
-        cpu_sec, tpu_sec, rec = _time_pair(cpu, tpu, seqs, kw, trials)
+        # isolate device-path failures: a congested pool can reset the TPU
+        # session mid-call (FAILED_PRECONDITION) — report and keep going so
+        # the production/host lines already emitted (and the other pass's
+        # attempt) survive
+        try:
+            cpu_sec, tpu_sec, rec = _time_pair(cpu, tpu, seqs, kw, trials)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({
+                "metric": f"aligner_{label}_device_error", "value": None,
+                "unit": None, "vs_baseline": None,
+                "detail": {"error": repr(e)[:200]},
+            }), flush=True)
+            continue
         mapped = len(set(rec.qname))
         correct = sum(
             1 for i in range(len(rec.qname))
