@@ -207,7 +207,10 @@ def section_aligner():
     sys.path.insert(0, str(Path(__file__).resolve().parent / "scripts"))
     from bench_aligner import main as run_aligner_bench
 
-    run_aligner_bench(N_READS, trials=3)
+    # self-bound near the section's warm estimate: under pool congestion
+    # the (retired) device passes are the first thing to give up
+    run_aligner_bench(N_READS, trials=3,
+                      deadline_s=max(60.0, min(300.0, remaining() - 60.0)))
 
 
 def _cached_corpus(dirname: str, **kw) -> dict:

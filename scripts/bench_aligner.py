@@ -40,7 +40,12 @@ def _time_pair(base, subj, seqs, kw, trials):
     return float(np.median(tb)), float(np.median(ts)), rec
 
 
-def main(n_reads: int = 2000, trials: int = 3):
+def main(n_reads: int = 2000, trials: int = 3, deadline_s: float | None = None):
+    """deadline_s: soft wall-clock bound (seconds from now) — the DEVICE
+    pass measurements (the retired idle-host path, kept for loaded-host
+    evidence) are skipped once past it so the production/host lines always
+    emit within budget."""
+    t_start = time.monotonic()
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -84,6 +89,14 @@ def main(n_reads: int = 2000, trials: int = 3):
         },
     }), flush=True)
     for label, kw in (("trunc", dict(trunc=True)), ("full", dict())):
+        if deadline_s is not None and time.monotonic() - t_start > deadline_s:
+            print(json.dumps({
+                "metric": f"aligner_{label}_device_skipped", "value": None,
+                "unit": None, "vs_baseline": None,
+                "detail": {"reason": "section budget spent (pool congestion);"
+                                     " production line already emitted"},
+            }), flush=True)
+            continue
         # isolate device-path failures: a congested pool can reset the TPU
         # session mid-call (FAILED_PRECONDITION) — report and keep going so
         # the production/host lines already emitted (and the other pass's
