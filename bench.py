@@ -50,7 +50,7 @@ GENOME = {"chr1": 4_050_000, "chr2": 2_000_000, "chr3": 2_000_000}
 CCL = np.array([30000, 20000, 14000, 10000, 7000, 5000, 3500, 2200, 1200, 400])
 TIME_COST = 5300.0
 
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1400))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1250))
 T0 = time.monotonic()
 #: persistent scratch next to the repo: the sim/aeons corpora are
 #: deterministic (fixed rng), so later runs (and driver rounds) reuse them
