@@ -11,10 +11,13 @@ Sections (one JSON line each), in order:
      baseline aligner (host seeding + native DP, 4 threads — the mappy
      stand-in; scripts/bench_aligner.py)
   3. sim_batch_p50_latency — end-to-end PAF-driven simulation batch
-  4. aeons_batch_p50_latency — AEONS update (ava/assembly/strategy) batch
-  5. chromosome-scale single-chip point (134 Mb)
-  6. conformance_mask_agreement — engine (quirk mode) vs the bug-compatible
-     reference oracle on the zymo-like corpus (bossruns_tpu/conformance.py)
+  4. conformance_mask_agreement / conformance_dataplane — engine (quirk
+     mode) vs the bug-compatible reference oracle on the zymo-like corpus,
+     injected-observation AND full-data-plane drives
+     (bossruns_tpu/conformance.py); ordered before the remaining perf
+     sections so parity evidence survives a dry budget
+  5. aeons_batch_p50_latency — AEONS update (ava/assembly/strategy) batch
+  6. chromosome-scale single-chip point (134 Mb)
 
 Budget discipline (VERDICT r3 item 1: BENCH_r03 timed out at rc=124 and
 lost the headline — post-mortem: the driver's bench starts from an EMPTY
@@ -22,11 +25,14 @@ XLA compile cache when the workspace is re-provisioned, and a remote axon
 compile costs 2-8 MINUTES per shape, so the old sequential suite burned its
 whole budget compiling): the headline prints the moment its f64 number
 exists; every other section runs as a SUBPROCESS under a hard timeout sized
-from the remaining budget (BENCH_BUDGET_S, default 900 s), so no section —
+from the remaining budget (BENCH_BUDGET_S, default 1250 s), so no section —
 compiling or not — can eat the suite. A fully-warm complete run measures
 ~6 min (all sections, zero skips). A cold cache is detected from the
-headline's own compile time and switches the section estimates to their
-cold brackets (sections that cannot fit are skipped with an explicit line).
+headline's own compile time AND a near-empty persistent cache dir (a
+congested pool can queue a warm first dispatch for minutes) and switches
+the section estimates to their cold brackets (sections that cannot fit are
+skipped with an explicit line); a cumulative bench_summary after every
+section keeps the scoreboard in the output tail whatever happens.
 All compiles land in the persistent cache (.jax_cache), so even a partially
 skipped cold run warms the next one. The process always exits 0.
 
