@@ -247,7 +247,12 @@ class TpuAligner:
         rids = list(sequences)
         if not rids:
             return _empty_records()
-        enc = [encode(sequences[r][: self.mu] if trunc else sequences[r]) for r in rids]
+        # ONE encode pass over the concatenated batch (a per-read Python
+        # loop cost ~17 ms at 4000 reads); enc entries are views
+        parts = [sequences[r][: self.mu] if trunc else sequences[r] for r in rids]
+        codes_cat = _ENC[np.frombuffer("".join(parts).encode(), np.uint8)]
+        offs = np.concatenate([[0], np.cumsum([len(p) for p in parts])])
+        enc = [codes_cat[offs[i]: offs[i + 1]] for i in range(len(parts))]
         # bucket by length to bound padded shapes. Dispatch EVERY bucket's
         # seeding kernel up front (async jit dispatch — they queue on the
         # device), then pull/extend per bucket: the host's banded DP on
