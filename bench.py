@@ -137,6 +137,10 @@ def section_headline():
     compile_s = time.perf_counter() - t0
     times = []
     for _ in range(7):
+        # budget-aware: under heavy pool congestion each step can stretch to
+        # minutes; a median of fewer samples beats losing the whole suite
+        if times and remaining() < 0.55 * BUDGET_S:
+            break
         t0 = time.perf_counter()
         state, aux = eng.step(state, batch, params)
         # production sync: one packed D2H pull of the step scalars (a D2H
@@ -154,7 +158,9 @@ def section_headline():
         "strat": np.ones((1, layout.Gd_pad, 2), bool),
     }
     cpu_ms = float("inf")
-    for _ in range(2):  # min of 2: robust to transient host load
+    for rep in range(2):  # min of 2: robust to transient host load
+        if rep and remaining() < 0.4 * BUDGET_S:
+            break
         t0 = time.perf_counter()
         oracle.full_update(eng, st_np, batch_np, CCL, TIME_COST, fast_scores=True)
         cpu_ms = min(cpu_ms, (time.perf_counter() - t0) * 1000.0)
