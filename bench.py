@@ -180,6 +180,7 @@ def section_headline():
             "reads_per_s": round(N_READS / (tpu_p50 / 1000.0), 1),
             "cpu_baseline_ms": round(cpu_ms, 1),
             "f64_ms": round(tpu_p50, 3),
+            "n_samples": len(times),
             "f32_ms": None,
         },
     }
