@@ -67,8 +67,13 @@ def remaining() -> float:
     return BUDGET_S - (time.monotonic() - T0)
 
 
+_EMITTED: list = []
+
+
 def emit(obj) -> None:
     print(json.dumps(obj), flush=True)
+    if isinstance(obj, dict) and obj.get("metric") not in (None, "bench_summary"):
+        _EMITTED.append(obj)
 
 
 
