@@ -144,7 +144,9 @@ def section_headline():
     for _ in range(7):
         # budget-aware: under heavy pool congestion each step can stretch to
         # minutes; a median of fewer samples beats losing the whole suite
-        if times and remaining() < 0.55 * BUDGET_S:
+        # (>=3 samples preferred, 1 accepted when the budget is nearly gone)
+        if ((len(times) >= 3 and remaining() < 0.55 * BUDGET_S)
+                or (times and remaining() < 0.3 * BUDGET_S)):
             break
         t0 = time.perf_counter()
         state, aux = eng.step(state, batch, params)
