@@ -646,6 +646,11 @@ def main():
         # decision-parity evidence outranks the remaining perf points
         for name in ("aligner", "sim_batch", "conformance", "aeons_batch", "scale"):
             est = SECTION_EST[name][1 if cold else 0]
+            if congested:
+                # in-process sections skip the ~45 s jax startup, the
+                # session queue and the executable re-loads of a fresh
+                # process — their marginal cost is roughly the compute
+                est = max(90, est // 3)
             if remaining() - RESERVE < est:
                 emit({"metric": f"{name}_skipped", "value": None, "unit": None,
                       "vs_baseline": None,
