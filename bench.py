@@ -641,6 +641,21 @@ def main():
               "unit": "records", "vs_baseline": None,
               "detail": {"records": summary}})
 
+    # congestion detection: a warm cache with a slow first dispatch means
+    # the SHARED POOL is queueing new sessions for minutes. Each section
+    # subprocess establishes its own session and would pay that queue AGAIN
+    # (observed: a 24-minute session queue consumed a whole run's budget) —
+    # run sections IN-PROCESS instead, reusing this process's established
+    # session. No hard per-section kill in that mode, but every section is
+    # budget-aware and the alternative is losing all of them to queueing.
+    congested = ((compile_s > 90 and not cold)
+                 or os.environ.get("BENCH_FORCE_INPROCESS") == "1")
+    if congested:
+        emit({"metric": "bench_congested_inprocess", "value": 1, "unit": None,
+              "vs_baseline": None,
+              "detail": {"note": "pool queueing detected: sections run"
+                                 " in-process to reuse this session"}})
+
     if os.environ.get("BENCH_ONLY", "") != "step":
         # conformance before aeons/scale: if the budget runs dry, the
         # decision-parity evidence outranks the remaining perf points
@@ -658,12 +673,22 @@ def main():
                                            f"estimated {est}s"}})
                 continue
             try:
-                child_env = dict(os.environ)
-                # the child's budget view = what is actually left here
-                child_env["BENCH_BUDGET_S"] = str(max(60.0, remaining() - RESERVE))
-                all_records += _run_section(
-                    name, max(60.0, min(remaining() - RESERVE, est * 2.0)),
-                    child_env)
+                if congested:
+                    before = len(_EMITTED)
+                    try:
+                        SECTIONS[name]()
+                    except Exception as e:  # noqa: BLE001
+                        emit({"metric": f"{name}_error", "value": None,
+                              "unit": None, "vs_baseline": None,
+                              "detail": {"error": repr(e)[:300]}})
+                    all_records += _EMITTED[before:]
+                else:
+                    child_env = dict(os.environ)
+                    # the child's budget view = what is actually left here
+                    child_env["BENCH_BUDGET_S"] = str(max(60.0, remaining() - RESERVE))
+                    all_records += _run_section(
+                        name, max(60.0, min(remaining() - RESERVE, est * 2.0)),
+                        child_env)
             except Exception as e:  # noqa: BLE001
                 emit({"metric": f"{name}_error", "value": None, "unit": None,
                       "vs_baseline": None, "detail": {"error": repr(e)[:300]}})
