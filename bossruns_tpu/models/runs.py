@@ -419,33 +419,35 @@ class RunsEngine:
         on = bits > 0  # [n_reads_pad] uint8 -> bool
         pad = jnp.uint32(EX_PAD)
 
-        def gate_mr(lens, reads, want_on):
-            g = on[reads.astype(jnp.int32)]
-            g = g if want_on else ~g
-            return jnp.where(g, lens, 0).astype(jnp.uint16)
+        # ONE bit-gather per row family (the four separate f/t gathers cost
+        # extra launches): a row survives iff its read's bit matches the
+        # family's wanted state (full rows want ON, trunc rows want OFF)
+        nf_mr = f["f_mr_read"].shape[0]
+        mr_reads = jnp.concatenate([f["f_mr_read"], f["t_mr_read"]])
+        mr_want = jnp.arange(mr_reads.shape[0]) < nf_mr
+        mr_keep = on[mr_reads.astype(jnp.int32)] == mr_want
+        mr_len = jnp.where(
+            mr_keep, jnp.concatenate([f["f_mr_len"], f["t_mr_len"]]), 0
+        ).astype(jnp.uint16)
 
-        def gate_ex(exg, bcsym, reads, want_on):
-            # drop = (bcsym 0, ex_g EX_PAD): a NONZERO bcsym would wrap the
-            # unsigned flat index bcsym*G + 0xFFFFFFFF back IN bounds
-            g = on[reads.astype(jnp.int32)]
-            g = g if want_on else ~g
-            return jnp.where(g, exg, pad), jnp.where(g, bcsym, 0)
-
-        f_ex_g, f_ex_bcsym = gate_ex(
-            f["f_ex_g"], f["f_ex_bcsym"], f["f_ex_read"], True
+        nf_ex = f["f_ex_read"].shape[0]
+        ex_reads = jnp.concatenate([f["f_ex_read"], f["t_ex_read"]])
+        ex_want = jnp.arange(ex_reads.shape[0]) < nf_ex
+        ex_keep = on[ex_reads.astype(jnp.int32)] == ex_want
+        # drop = (bcsym 0, ex_g EX_PAD): a NONZERO bcsym would wrap the
+        # unsigned flat index bcsym*G + 0xFFFFFFFF back IN bounds
+        ex_g = jnp.where(
+            ex_keep, jnp.concatenate([f["f_ex_g"], f["t_ex_g"]]), pad
         )
-        t_ex_g, t_ex_bcsym = gate_ex(
-            f["t_ex_g"], f["t_ex_bcsym"], f["t_ex_read"], False
+        ex_bcsym = jnp.where(
+            ex_keep, jnp.concatenate([f["f_ex_bcsym"], f["t_ex_bcsym"]]), 0
         )
         batch = ReadBatch(
             mr_bc=jnp.concatenate([f["f_mr_bc"], f["t_mr_bc"]]),
             mr_g=jnp.concatenate([f["f_mr_g"], f["t_mr_g"]]),
-            mr_len=jnp.concatenate([
-                gate_mr(f["f_mr_len"], f["f_mr_read"], True),
-                gate_mr(f["t_mr_len"], f["t_mr_read"], False),
-            ]),
-            ex_bcsym=jnp.concatenate([f_ex_bcsym, t_ex_bcsym]),
-            ex_g=jnp.concatenate([f_ex_g, t_ex_g]),
+            mr_len=mr_len,
+            ex_bcsym=ex_bcsym,
+            ex_g=ex_g,
             rs_row=f["rs_row"],
             rs_strand=f["rs_strand"],
             # rs rows belong to full-set records: active iff accepted;
